@@ -1,0 +1,57 @@
+"""gradus_tpu — a TPU-native, end-to-end differentiable general-relativistic ray tracer.
+
+Built from scratch in JAX (XLA / Pallas / shard_map), with the capabilities of the
+Julia reference Gradus.jl (astro-group-bristol/Gradus.jl): spacetime-agnostic geodesic
+integration with event detection, black-hole imaging, Cunningham transfer functions,
+relativistic line profiles, coronal emissivity, and reverberation lags.
+
+Design stance (vs. the reference, see SURVEY.md):
+- rays are a device-resident batch dimension, not a loop;
+- Christoffel symbols come from `jax.jacfwd` of the metric components
+  (reference: ForwardDiff duals, `src/tracing/method-implementations/auto-diff.jl`);
+- the adaptive integrator is a masked fixed-shape `lax.while_loop` over the whole
+  ray batch (reference: per-trajectory OrdinaryDiffEq solves on CPU threads);
+- event detection (horizon capture / disc intersection) is an array predicate with
+  Hermite-interpolant refinement (reference: SciML ContinuousCallback);
+- pixel tiles shard across a TPU mesh via `shard_map`, with `psum` reductions for
+  histograms/images.
+"""
+
+from gradus_tpu import config as config
+from gradus_tpu.config import enable_x64
+
+from gradus_tpu.metrics import (
+    KerrMetric,
+    SchwarzschildMetric,
+    JohannsenMetric,
+    JohannsenPsaltisMetric,
+    KerrNewmanMetric,
+    MorrisThorneWormhole,
+    DilatonAxion,
+    BumblebeeMetric,
+    NoZMetric,
+    KerrRefractive,
+    KerrDarkMatter,
+    SphericalMetric,
+    CartesianMetric,
+    metric_components,
+    metric_4x4,
+    inverse_metric_components,
+    inner_radius,
+)
+from gradus_tpu.geodesics import (
+    geodesic_equation,
+    metric_jacobian,
+    constrain,
+    constrain_time,
+    constrain_all,
+    dotproduct,
+    propernorm,
+    tetradframe,
+    lnrframe,
+    lnrbasis,
+    lowerindices,
+    raiseindices,
+)
+
+__version__ = "0.1.0"

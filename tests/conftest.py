@@ -1,0 +1,24 @@
+"""Test configuration: force a clean CPU backend with 8 virtual devices (for
+sharding tests) and float64 enabled (golden-parity tolerances need it).
+
+The container boots every python process with an `axon` TPU PJRT plugin via a
+sitecustomize hook (PYTHONPATH=/root/.axon_site) that would silently hijack
+computation onto the tunneled TPU in float32. jax is already imported by that
+hook when conftest runs, but backends initialize lazily — overriding
+``jax_platforms`` via jax.config (which beats the hook's env) pins us to CPU.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
