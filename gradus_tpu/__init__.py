@@ -53,5 +53,26 @@ from gradus_tpu.geodesics import (
     lowerindices,
     raiseindices,
 )
+from gradus_tpu.integrate import (
+    StatusCodes,
+    GeodesicPoint,
+    unpack_solution,
+    trace_geodesics,
+    tracegeodesics,
+    TraceGeodesic,
+    TraceRadiativeTransfer,
+    domain_upper_hemisphere,
+)
+from gradus_tpu.geometry import (
+    ThinDisc,
+    WarpedThinDisc,
+    DatumPlane,
+    ThickDisc,
+    ShakuraSunyaev,
+    EllipticalDisc,
+    PrecessingDisc,
+    PolishDoughnut,
+    CompositeGeometry,
+)
 
 __version__ = "0.1.0"

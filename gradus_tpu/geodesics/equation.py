@@ -38,15 +38,17 @@ def metric_jacobian(m: AbstractMetric, r, theta):
     """Value + (∂_r, ∂_θ) of the 5 metric components in two forward-mode passes
     (reference `metric_jacobian`, auto-diff.jl:206-211)."""
     dtype = jnp.result_type(r, theta, float)
-    rt = jnp.stack([jnp.asarray(r, dtype), jnp.asarray(theta, dtype)])
+    rt = jnp.stack(
+        jnp.broadcast_arrays(jnp.asarray(r, dtype), jnp.asarray(theta, dtype))
+    )
 
     def f(rt):
         return m.components(rt[0], rt[1])
 
-    e_r = jnp.array([1.0, 0.0], dtype)
-    e_t = jnp.array([0.0, 1.0], dtype)
-    g, dg_dr = jax.jvp(f, (rt,), (e_r,))
-    _, dg_dtheta = jax.jvp(f, (rt,), (e_t,))
+    ones = jnp.ones_like(rt[0])
+    zeros = jnp.zeros_like(rt[0])
+    g, dg_dr = jax.jvp(f, (rt,), (jnp.stack([ones, zeros]),))
+    _, dg_dtheta = jax.jvp(f, (rt,), (jnp.stack([zeros, ones]),))
     return g, dg_dr, dg_dtheta
 
 

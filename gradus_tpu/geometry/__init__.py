@@ -1,0 +1,13 @@
+from gradus_tpu.geometry.discs import (
+    AbstractAccretionGeometry,
+    ThinDisc,
+    WarpedThinDisc,
+    DatumPlane,
+    ThickDisc,
+    ShakuraSunyaev,
+    EllipticalDisc,
+    PrecessingDisc,
+    PolishDoughnut,
+    CompositeGeometry,
+    datumplane,
+)

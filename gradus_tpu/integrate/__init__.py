@@ -1,0 +1,11 @@
+from gradus_tpu.integrate.status import StatusCodes
+from gradus_tpu.integrate.points import GeodesicPoint, unpack_solution
+from gradus_tpu.integrate.solver import integrate_rays, IntegrationResult
+from gradus_tpu.integrate.tracing import (
+    TraceGeodesic,
+    TraceRadiativeTransfer,
+    trace_geodesics,
+    tracegeodesics,
+    make_geodesic_rhs,
+    domain_upper_hemisphere,
+)

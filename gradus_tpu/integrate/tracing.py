@@ -1,0 +1,181 @@
+"""Front-door tracing API — the analogue of the reference's `tracegeodesics`
+(`src/tracing/tracing.jl:66-110`) + problem assembly
+(`src/tracing/geodesic-problem.jl`).
+
+The 8-component state is u = (x, v); the RHS is
+``du/dλ = (v, geodesic_equation(m, x, v))`` — reference `_second_order_ode_f`
+(geodesic-problem.jl:87). Charged traces add the Lorentz force
+``(q/μ)·F·v`` (reference `src/metrics/kerr-newman-ad.jl:74-102`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from gradus_tpu import config as _config
+from gradus_tpu.geodesics.equation import geodesic_equation, constrain_all
+from gradus_tpu.integrate.points import GeodesicPoint, unpack_solution
+from gradus_tpu.integrate.solver import integrate_rays, IntegrationResult
+from gradus_tpu.metrics.base import AbstractMetric
+
+__all__ = [
+    "TraceGeodesic",
+    "TraceRadiativeTransfer",
+    "trace_geodesics",
+    "tracegeodesics",
+    "make_geodesic_rhs",
+    "domain_upper_hemisphere",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TraceGeodesic:
+    """Null (μ=0) / timelike (μ=1) / charged (q≠0) trace
+    (reference `src/tracing/tracing.jl:1-8`)."""
+
+    mu: float = 0.0
+    q: float = 0.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TraceRadiativeTransfer:
+    """Covariant radiative-transfer trace: 9th state component integrates the
+    invariant intensity (reference `src/tracing/radiative-transfer-problem.jl`)."""
+
+    mu: float = 0.0
+    q: float = 0.0
+    nu: float = 1.0
+    I0: float = 1.0
+
+
+def make_geodesic_rhs(m: AbstractMetric, trace: TraceGeodesic | None = None):
+    """RHS over (..., 8) states."""
+    charged = trace is not None and _is_nonzero(trace.q)
+    if charged:
+        from gradus_tpu.metrics.kerr_newman import faraday_tensor
+
+        q_over_mu = trace.q / (trace.mu if _is_nonzero(trace.mu) else 1.0)
+
+        def f(y):
+            x, v = y[..., 0:4], y[..., 4:8]
+            acc = geodesic_equation(m, x, v)
+            F = faraday_tensor(m, x) if x.ndim == 1 else jax.vmap(
+                lambda xx: faraday_tensor(m, xx)
+            )(x)
+            lorentz = q_over_mu * jnp.einsum("...ij,...j->...i", F, v)
+            return jnp.concatenate([v, acc + lorentz], axis=-1)
+
+        return f
+
+    def f(y):
+        x, v = y[..., 0:4], y[..., 4:8]
+        acc = geodesic_equation(m, x, v)
+        return jnp.concatenate([v, acc], axis=-1)
+
+    return f
+
+
+def _is_nonzero(val) -> bool:
+    try:
+        return float(val) != 0.0
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return True  # traced → assume may be nonzero
+
+
+def domain_upper_hemisphere(delta: float = 1e-4):
+    """Terminate (OutOfDomain) once the ray crosses below the equatorial plane
+    (reference `src/tracing/callbacks.jl:31-41`)."""
+    from gradus_tpu.integrate.status import StatusCodes
+
+    def pred(y, lam):
+        r, th = y[..., 1], y[..., 2]
+        return r * jnp.cos(th) < delta
+
+    return (pred, StatusCodes.OutOfDomain)
+
+
+def trace_geodesics(
+    m: AbstractMetric,
+    x,
+    v,
+    lam_span=(0.0, 2000.0),
+    *,
+    mu: float = 0.0,
+    q: float = 0.0,
+    trace=None,
+    geometry=None,
+    gtol: float = 1e-2,
+    chart_inner=None,
+    chart_outer: float = 12000.0,
+    closest_approach: float = 1.01,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    max_steps: int = 40000,
+    terminate_fns: tuple = (),
+    constrain: bool = True,
+    n_interp: int = 8,
+) -> GeodesicPoint:
+    """Trace a batch (or a single) geodesic; returns endpoint `GeodesicPoint`s.
+
+    ``x``, ``v``: (..., 4) position / unconstrained velocity. The time
+    component of ``v`` is solved from the norm constraint unless
+    ``constrain=False`` (reference `constrain_all`,
+    `src/tracing/constraints.jl`).
+    """
+    if trace is None:
+        trace = TraceGeodesic(mu=mu, q=q)
+    x = jnp.atleast_2d(jnp.asarray(x))
+    v = jnp.atleast_2d(jnp.asarray(v))
+    x, v = jnp.broadcast_arrays(x, v)
+    single = x.shape == (1, 4) and jnp.ndim(x) == 2
+
+    if constrain:
+        v = constrain_all(m, x, v, mu=trace.mu)
+
+    a_tol, r_tol = _config.default_tols(x.dtype)
+    abstol = a_tol if abstol is None else abstol
+    reltol = r_tol if reltol is None else reltol
+
+    if chart_inner is None:
+        chart_inner = m.inner_radius() * closest_approach
+
+    crossing_fn = None
+    hit_fn = None
+    if geometry is not None:
+
+        def crossing_fn(y):
+            return geometry.crossing_indicator(y[..., 0:4])
+
+        def hit_fn(y):
+            return geometry.is_hit(y[..., 0:4], gtol=gtol)
+
+    f = make_geodesic_rhs(m, trace)
+    y0 = jnp.concatenate([x, v], axis=-1)
+    result = integrate_rays(
+        f,
+        y0,
+        lam_span,
+        abstol=abstol,
+        reltol=reltol,
+        r_inner=chart_inner,
+        r_outer=chart_outer,
+        crossing_fn=crossing_fn,
+        hit_fn=hit_fn,
+        terminate_fns=terminate_fns,
+        max_steps=max_steps,
+        n_interp=n_interp,
+    )
+    gp = unpack_solution(result)
+    if single:
+        gp = gp[0]
+    return gp
+
+
+# reference-parity alias
+tracegeodesics = trace_geodesics

@@ -26,7 +26,14 @@ __all__ = [
 def sym4x4(comps):
     """Assemble the symmetric 4x4 metric from its 5 non-zero components
     ``(g_tt, g_rr, g_θθ, g_φφ, g_tφ)``  (reference: `src/utils.jl:60-67`)."""
-    tt, rr, hh, pp, tp = comps[0], comps[1], comps[2], comps[3], comps[4]
+    comps = jnp.asarray(comps)
+    tt, rr, hh, pp, tp = (
+        comps[..., 0],
+        comps[..., 1],
+        comps[..., 2],
+        comps[..., 3],
+        comps[..., 4],
+    )
     z = jnp.zeros_like(tt)
     return jnp.stack(
         [
@@ -45,7 +52,14 @@ def sym4x4_inverse_components(comps):
 
     Reference: `src/tracing/method-implementations/auto-diff.jl:59-78`
     (symbolically computed inverse)."""
-    g1, g2, g3, g4, g5 = comps[0], comps[1], comps[2], comps[3], comps[4]
+    comps = jnp.asarray(comps)
+    g1, g2, g3, g4, g5 = (
+        comps[..., 0],
+        comps[..., 1],
+        comps[..., 2],
+        comps[..., 3],
+        comps[..., 4],
+    )
     det = g1 * g2 * g3 * g4 - (g5 * g5) * g2 * g3
     inv_det = 1.0 / det
     return jnp.stack(
