@@ -1,0 +1,84 @@
+"""Benchmark: rays/s on a Kerr (a=0.998) thin-disc redshift render.
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+
+Baseline anchor (BASELINE.md): the reference renders a 450×1300 = 585k-ray
+thin-disc line profile in ~30 s on an 8-core M1 → ≈ 19.5k rays/s. vs_baseline
+is our rays/s divided by that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 585_000 / 30.0  # reference anchor, M1 laptop
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+    from gradus_tpu.metrics import KerrMetric
+    from gradus_tpu.geometry import ThinDisc
+    from gradus_tpu.integrate import trace_geodesics, StatusCodes
+    from gradus_tpu.camera.impact import map_impact_parameters
+    from gradus_tpu.redshift import redshift_pointfunction
+
+    dtype = jnp.float32
+    side = int(os.environ.get("BENCH_SIDE", "1024"))
+    n = side * side
+    lam_max = 2200.0
+
+    m = KerrMetric(M=jnp.asarray(1.0, dtype), a=jnp.asarray(0.998, dtype))
+    d = ThinDisc(inner_r=0.0, outer_r=50.0)
+    x_obs = jnp.asarray([0.0, 1000.0, np.deg2rad(75.0), 0.0], dtype)
+
+    alphas = jnp.linspace(-28.0, 28.0, side, dtype=dtype) + 1e-4
+    betas = jnp.linspace(-18.0, 18.0, side, dtype=dtype) + 1e-4
+    A = jnp.broadcast_to(alphas[:, None], (side, side)).ravel()
+    B = jnp.broadcast_to(betas[None, :], (side, side)).ravel()
+
+    pf = redshift_pointfunction(m, x_obs)
+
+    @jax.jit
+    def render(A, B):
+        v = map_impact_parameters(m, x_obs, A, B)
+        xs = jnp.broadcast_to(x_obs, v.shape)
+        gp = trace_geodesics(m, xs, v, (0.0, lam_max), geometry=d)
+        g = pf(m, gp, lam_max)
+        hit = gp.status == StatusCodes.IntersectedWithGeometry
+        return jnp.where(hit, g, jnp.nan)
+
+    # compile
+    img = render(A, B)
+    jax.block_until_ready(img)
+
+    t0 = time.perf_counter()
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    for _ in range(reps):
+        img = render(A, B)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / reps
+
+    rays_per_s = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"rays/s/chip, {side}x{side} Kerr a=0.998 thin-disc redshift render",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,5 +74,38 @@ from gradus_tpu.geometry import (
     PolishDoughnut,
     CompositeGeometry,
 )
+from gradus_tpu.camera import (
+    local_momentum,
+    map_impact_parameters,
+    LinearGrid,
+    GeometricGrid,
+    InverseGrid,
+    SinGrid,
+    CosGrid,
+    LogisticGrid,
+    PolarPlane,
+    CartesianPlane,
+    PointFunction,
+    FilterPointFunction,
+    FilterStatusCode,
+    ConstPointFunctions,
+    rendergeodesics,
+    prerendergeodesics,
+    EndpointRenderCache,
+)
+from gradus_tpu.orbits import (
+    CircularOrbits,
+    isco,
+    event_horizon,
+    ergosphere,
+    is_naked_singularity,
+    PlungingInterpolation,
+    interpolate_plunging_velocities,
+)
+from gradus_tpu.redshift import (
+    redshift_pointfunction,
+    interpolate_redshift,
+    keplerian_velocity_projector,
+)
 
 __version__ = "0.1.0"

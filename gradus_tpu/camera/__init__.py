@@ -3,3 +3,24 @@ from gradus_tpu.camera.impact import (
     map_impact_parameters,
     lnr_momentum_transform,
 )
+from gradus_tpu.camera.grids import (
+    LinearGrid,
+    GeometricGrid,
+    InverseGrid,
+    SinGrid,
+    CosGrid,
+    LogisticGrid,
+)
+from gradus_tpu.camera.planes import PolarPlane, CartesianPlane
+from gradus_tpu.camera.pointfns import (
+    PointFunction,
+    FilterPointFunction,
+    FilterStatusCode,
+    ConstPointFunctions,
+)
+from gradus_tpu.camera.render import (
+    rendergeodesics,
+    prerendergeodesics,
+    EndpointRenderCache,
+    apply,
+)

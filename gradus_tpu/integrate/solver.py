@@ -107,7 +107,14 @@ def integrate_rays(
     k1_0 = f(y0)
 
     status0 = jnp.full(N, StatusCodes.NoStatus)
-    alive0 = jnp.ones(N, dtype=bool)
+    # rays whose initial state/RHS is non-finite (e.g. physically impossible
+    # initial velocities) are dead on arrival — flagged failed, not integrated
+    bad0 = ~(
+        jnp.all(jnp.isfinite(y0), axis=-1)
+        & jnp.isfinite(dt0)
+        & jnp.all(jnp.isfinite(k1_0), axis=-1)
+    )
+    alive0 = ~bad0
 
     have_geometry = crossing_fn is not None
     c_prev0 = crossing_fn(y0) if have_geometry else jnp.zeros(N, dtype)
@@ -121,7 +128,7 @@ def integrate_rays(
         status=status0,
         alive=alive0,
         steps=jnp.zeros(N, jnp.int32),
-        failed=jnp.zeros(N, bool),
+        failed=bad0,
         c_prev=c_prev0,
         hit_y=y0,
         hit_k=k1_0,
@@ -152,7 +159,9 @@ def integrate_rays(
         fac_acc = 1.0 / jnp.clip(q, 1.0 / _QMAX_FACTOR, 1.0 / _QMIN_FACTOR)
         fac_rej = 1.0 / jnp.clip((err**0.2) / _GAMMA, 1.0, 1.0 / _QMIN_FACTOR)
         dt_next = jnp.where(accept, dt_eff * fac_acc, dt_eff * fac_rej)
-        failed = c["failed"] | (alive & (dt_next < dt_min) & ~step_ok)
+        failed = c["failed"] | (
+            alive & ~step_ok & ((dt_next < dt_min) | ~jnp.isfinite(dt_next))
+        )
         qold_new = jnp.where(accept, jnp.maximum(err, _QOLD_INIT), c["qold"])
 
         lam_new = lam + dt_eff
