@@ -107,5 +107,16 @@ from gradus_tpu.redshift import (
     interpolate_redshift,
     keplerian_velocity_projector,
 )
+from gradus_tpu.transfer import (
+    find_offset_for_radius,
+    impact_parameters_for_radius,
+    cunningham_transfer_function,
+    transferfunctions,
+    interpolated_transfer_branches,
+    TransferBranchGrid,
+    integrate_lineprofile,
+    integrate_lagtransfer,
+)
+from gradus_tpu.lineprofile import lineprofile, TransferFunctionMethod, BinningMethod
 
 __version__ = "0.1.0"

@@ -106,7 +106,7 @@ def integrate_rays(
     dt0 = jnp.minimum(initial_dt(f, y0, abstol, reltol), lam1 - lam0)
     k1_0 = f(y0)
 
-    status0 = jnp.full(N, StatusCodes.NoStatus)
+    status0 = jnp.full(N, StatusCodes.NoStatus, dtype=jnp.int32)
     # rays whose initial state/RHS is non-finite (e.g. physically impossible
     # initial velocities) are dead on arrival — flagged failed, not integrated
     bad0 = ~(

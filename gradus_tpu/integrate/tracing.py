@@ -11,6 +11,7 @@ The 8-component state is u = (x, v); the RHS is
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -88,9 +89,11 @@ def _is_nonzero(val) -> bool:
         return True  # traced → assume may be nonzero
 
 
+@functools.lru_cache(maxsize=None)
 def domain_upper_hemisphere(delta: float = 1e-4):
     """Terminate (OutOfDomain) once the ray crosses below the equatorial plane
-    (reference `src/tracing/callbacks.jl:31-41`)."""
+    (reference `src/tracing/callbacks.jl:31-41`). Cached so the returned
+    callback tuple is a stable jit-static."""
     from gradus_tpu.integrate.status import StatusCodes
 
     def pred(y, lam):
@@ -100,6 +103,22 @@ def domain_upper_hemisphere(delta: float = 1e-4):
     return (pred, StatusCodes.OutOfDomain)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mu",
+        "q",
+        "trace",
+        "gtol",
+        "closest_approach",
+        "abstol",
+        "reltol",
+        "max_steps",
+        "terminate_fns",
+        "constrain",
+        "n_interp",
+    ),
+)
 def trace_geodesics(
     m: AbstractMetric,
     x,
@@ -130,10 +149,10 @@ def trace_geodesics(
     """
     if trace is None:
         trace = TraceGeodesic(mu=mu, q=q)
+    single = jnp.ndim(x) == 1 and jnp.ndim(v) == 1
     x = jnp.atleast_2d(jnp.asarray(x))
     v = jnp.atleast_2d(jnp.asarray(v))
     x, v = jnp.broadcast_arrays(x, v)
-    single = x.shape == (1, 4) and jnp.ndim(x) == 2
 
     if constrain:
         v = constrain_all(m, x, v, mu=trace.mu)

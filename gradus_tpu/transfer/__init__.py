@@ -1,0 +1,18 @@
+from gradus_tpu.transfer.solvers import (
+    find_offset_for_radius,
+    impact_parameters_for_radius,
+    offset_workhorse,
+    rtheta_to_alphabeta,
+)
+from gradus_tpu.transfer.cunningham import (
+    TransferBranchGrid,
+    cunningham_transfer_function,
+    transferfunctions,
+    interpolated_transfer_branches,
+    g_to_gstar,
+    gstar_to_g,
+)
+from gradus_tpu.transfer.integration import (
+    integrate_lineprofile,
+    integrate_lagtransfer,
+)

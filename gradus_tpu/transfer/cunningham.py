@@ -1,0 +1,362 @@
+"""Cunningham transfer functions, batched over (emission radius, angle).
+
+Reference: `src/transfer-functions/cunningham-transfer-functions.jl`. For each
+emission radius rₑ the reference loops an edge-clustered θ iterator, root-finds
+the image-plane offset per θ, golden-sections for the extremal redshifts
+gmin/gmax, rescales the Jacobian to ∂g✶ and forms
+
+    f = (1/π rₑ) · g · √(g✶(1−g✶)) · J            (:62)
+
+then splits the samples into upper/lower branches and interpolates over g✶.
+
+TPU redesign: all radii process all angles simultaneously through the batched
+offset solver; the golden-section extremal search advances every radius in
+lockstep (probe samples are collected into the dataset exactly like the
+reference's accumulator); branches are resampled onto a fixed g✶ grid so the
+result is a dense `TransferBranchGrid` — the reference's
+`CunninghamTransferGrid` (types.jl:14-40) as the primary representation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gradus_tpu.metrics.base import AbstractMetric
+from gradus_tpu.geometry.discs import DatumPlane, ThinDisc, AbstractThickAccretionDisc, datumplane
+from gradus_tpu.transfer.solvers import offset_workhorse
+from gradus_tpu.utils.interp import linear_interp
+
+__all__ = [
+    "TransferBranchGrid",
+    "cunningham_transfer_function",
+    "transferfunctions",
+    "interpolated_transfer_branches",
+    "g_to_gstar",
+    "gstar_to_g",
+]
+
+_GR = (np.sqrt(5.0) - 1.0) / 2.0
+
+
+def g_to_gstar(g, gmin, gmax):
+    return (g - gmin) / (gmax - gmin)
+
+
+def gstar_to_g(gstar, gmin, gmax):
+    return (gmax - gmin) * gstar + gmin
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TransferBranchGrid:
+    """Dense transfer-function table over (rₑ, g✶)."""
+
+    radii: Any  # (nr,)
+    gmin: Any  # (nr,)
+    gmax: Any  # (nr,)
+    gstar: Any  # (Ng,)
+    lower_f: Any  # (nr, Ng)
+    upper_f: Any  # (nr, Ng)
+    lower_t: Any  # (nr, Ng)
+    upper_t: Any  # (nr, Ng)
+
+    def inner_radius(self):
+        return self.radii[0]
+
+    def outer_radius(self):
+        return self.radii[-1]
+
+    def at_radius(self, r):
+        """Linear interpolation of every row quantity at radii ``r`` (any
+        shape). Returns dict of arrays with leading shape of ``r``."""
+        r = jnp.asarray(r)
+        xs = self.radii
+        idx = jnp.clip(jnp.searchsorted(xs, r, side="right") - 1, 0, xs.shape[0] - 2)
+        x0, x1 = xs[idx], xs[idx + 1]
+        w = jnp.clip((r - x0) / jnp.where(x1 == x0, 1.0, x1 - x0), 0.0, 1.0)
+
+        def lerp(row):
+            return row[idx] * (1 - w[..., None] if row.ndim > 1 else 1 - w) + row[
+                idx + 1
+            ] * (w[..., None] if row.ndim > 1 else w)
+
+        return dict(
+            gmin=self.gmin[idx] * (1 - w) + self.gmin[idx + 1] * w,
+            gmax=self.gmax[idx] * (1 - w) + self.gmax[idx + 1] * w,
+            lower_f=lerp(self.lower_f),
+            upper_f=lerp(self.upper_f),
+            lower_t=lerp(self.lower_t),
+            upper_t=lerp(self.upper_t),
+        )
+
+
+def _theta_samples(N: int, theta_offset: float, dtype):
+    """Edge-clustered θ iterator (reference
+    cunningham-transfer-functions.jl:359-367)."""
+    K = N // 5
+    a = np.linspace(-2 * theta_offset, 2 * theta_offset, K)
+    b = np.linspace(-np.pi / 2, 3 * np.pi / 2, N - 2 * K)
+    c = np.linspace(np.pi - 2 * theta_offset, np.pi + 2 * theta_offset, K)
+    return jnp.asarray(np.concatenate([a, b, c]), dtype)
+
+
+def _avoid_poles(theta):
+    """Nudge θ off the exact image-plane axes (reference `_gmin_finder`,
+    cunningham-transfer-functions.jl:437-447)."""
+    near0 = jnp.abs(theta) < 1e-4
+    nearpi = jnp.abs(jnp.abs(theta) - jnp.pi) < 1e-4
+    return jnp.where(near0 | nearpi, theta + 1e-4, theta)
+
+
+def _masked_resample(gq, gs, vals, mask):
+    """Linear interpolation of (gs, vals) restricted to mask, sampled at gq.
+
+    Invalid entries sort to +inf; queries clamp to the valid range.
+    gs: (M,), vals: (M,), mask: (M,), gq: (Ng,) → (Ng,)"""
+    big = jnp.where(mask, gs, jnp.inf)
+    order = jnp.argsort(big)
+    xs = big[order]
+    ys = vals[order]
+    n = jnp.sum(mask)
+    idx = jnp.clip(jnp.searchsorted(xs, gq, side="right") - 1, 0, n - 2)
+    x0, x1 = xs[idx], xs[idx + 1]
+    w = jnp.clip((gq - x0) / jnp.where(x1 <= x0, 1.0, x1 - x0), 0.0, 1.0)
+    return ys[idx] * (1 - w) + ys[idx + 1] * w
+
+
+def cunningham_transfer_function(
+    m: AbstractMetric,
+    x,
+    d,
+    radii,
+    *,
+    N: int = 80,
+    N_extrema: int = 16,
+    Ng: int = 64,
+    theta_offset: float = 0.3,
+    h: float = 1e-6,
+    h_resample: float = 1e-3,
+    zero_atol: float = 1e-7,
+    newton_iters: int = 30,
+    lam_max=None,
+    return_samples: bool = False,
+) -> TransferBranchGrid:
+    """Compute transfer functions for an array of emission radii at once.
+
+    Thin discs are promoted to an equatorial DatumPlane for the offset solve
+    (reference `_promote_disc_for_transfer_functions`, :1-5).
+    """
+    x = jnp.asarray(x)
+    radii = jnp.atleast_1d(jnp.asarray(radii, x.dtype))
+    nr = radii.shape[0]
+    if lam_max is None:
+        lam_max = 2.0 * x[1]
+
+    if isinstance(d, ThinDisc):
+        disc = DatumPlane(jnp.asarray(0.0, x.dtype))
+        jacobian_disc = disc
+    elif isinstance(d, AbstractThickAccretionDisc):
+        disc = None  # per-radius datum plane below
+        jacobian_disc = d
+    else:
+        disc = d
+        jacobian_disc = d
+
+    thetas0 = _theta_samples(N, theta_offset, x.dtype)
+
+    def eval_workhorse(theta_per_pair, radii_per_pair, disc_local):
+        return offset_workhorse(
+            m,
+            x,
+            disc_local,
+            radii_per_pair,
+            _avoid_poles(theta_per_pair),
+            jacobian_disc=jacobian_disc,
+            lam_max=lam_max,
+            zero_atol=zero_atol,
+            max_iter=newton_iters,
+        )
+
+    def workhorse_for_radii(thetas_nr, disc_local):
+        """thetas_nr: (nr,) one θ per radius → (g, J, t, ok) each (nr,)."""
+        return eval_workhorse(thetas_nr, radii, disc_local)
+
+    if isinstance(d, AbstractThickAccretionDisc):
+        disc_for = datumplane(d, radii)  # batched heights
+        # DatumPlane with (nr,) height works elementwise against (nr,) rays
+        disc_solver = disc_for
+    else:
+        disc_solver = disc
+
+    # --- main angular sweep ---------------------------------------------
+    TH = jnp.broadcast_to(thetas0[None, :], (nr, N))
+    RE = jnp.broadcast_to(radii[:, None], (nr, N))
+    g_s, J_s, t_s, ok_s = eval_workhorse(TH.ravel(), RE.ravel(), disc_solver_tile(disc_solver, N))
+    g_s = g_s.reshape(nr, N)
+    J_s = J_s.reshape(nr, N)
+    t_s = t_s.reshape(nr, N)
+    ok_s = ok_s.reshape(nr, N)
+
+    # --- golden-section extremal search (batched over radii) -------------
+    # python loop over a jit-cached workhorse: each iteration re-uses the
+    # compiled (nr,)-shaped executable, so the cost is pure runtime
+    def golden(sign, center):
+        a = jnp.full((nr,), center - theta_offset, x.dtype)
+        b = jnp.full((nr,), center + theta_offset, x.dtype)
+        c = b - _GR * (b - a)
+        e = a + _GR * (b - a)
+        gc, Jc, tc, okc = workhorse_for_radii(c, disc_solver)
+        ge, Je, te, oke = workhorse_for_radii(e, disc_solver)
+        fc = sign * gc
+        fe = sign * ge
+        collected = [(c, gc, Jc, tc, okc), (e, ge, Je, te, oke)]
+        for _ in range(N_extrema):
+            left = fc < fe
+            a2 = jnp.where(left, a, c)
+            b2 = jnp.where(left, e, b)
+            c2 = jnp.where(left, b2 - _GR * (b2 - a2), e)
+            e2 = jnp.where(left, c, a2 + _GR * (b2 - a2))
+            probe = jnp.where(left, c2, e2)
+            gp_, Jp_, tp_, okp_ = workhorse_for_radii(probe, disc_solver)
+            collected.append((probe, gp_, Jp_, tp_, okp_))
+            fp = sign * gp_
+            fc2 = jnp.where(left, fp, fe)
+            fe2 = jnp.where(left, fc, fp)
+            a, b, c, e, fc, fe = a2, b2, c2, e2, fc2, fe2
+        best = jnp.where(fc < fe, fc, fe) * sign
+        probes = tuple(
+            jnp.stack([col[i] for col in collected], axis=0) for i in range(5)
+        )
+        return best, probes
+
+    gmin_cand, probes_min = golden(+1.0, 0.0)
+    gmax_cand, probes_max = golden(-1.0, np.pi)
+
+    # assemble all samples: static sweep + probe evaluations (probes are
+    # (P, nr) → transpose to (nr, P))
+    def cat(static, pmin, pmax):
+        return jnp.concatenate([static, pmin.T, pmax.T], axis=1)
+
+    th_all = cat(TH, probes_min[0], probes_max[0])
+    g_all = cat(g_s, probes_min[1], probes_max[1])
+    J_all = cat(J_s, probes_min[2], probes_max[2])
+    t_all = cat(t_s, probes_min[3], probes_max[3])
+    ok_all = cat(ok_s, probes_min[4], probes_max[4])
+
+    g_valid = jnp.where(ok_all, g_all, jnp.inf)
+    gmin = jnp.minimum(gmin_cand, jnp.min(g_valid, axis=1))
+    g_valid_neg = jnp.where(ok_all, g_all, -jnp.inf)
+    gmax = jnp.maximum(gmax_cand, jnp.max(g_valid_neg, axis=1))
+
+    # --- transfer function values ----------------------------------------
+    span = (gmax - gmin)[:, None]
+    gstar_all = (g_all - gmin[:, None]) / span
+    Jstar = span * J_all
+    f_all = (1.0 / (jnp.pi * radii[:, None])) * g_all * jnp.sqrt(
+        jnp.clip(gstar_all * (1.0 - gstar_all), 0.0, None)
+    ) * Jstar
+
+    # --- sort by θ, split branches at the g✶ extrema ----------------------
+    order = jnp.argsort(th_all, axis=1)
+    gstar_o = jnp.take_along_axis(gstar_all, order, axis=1)
+    f_o = jnp.take_along_axis(f_all, order, axis=1)
+    t_o = jnp.take_along_axis(t_all, order, axis=1)
+    ok_o = jnp.take_along_axis(ok_all, order, axis=1)
+
+    M = gstar_o.shape[1]
+    k = jnp.arange(M)[None, :]
+    gstar_masked = jnp.where(ok_o, gstar_o, jnp.inf)
+    imin = jnp.argmin(gstar_masked, axis=1)
+    gstar_masked_neg = jnp.where(ok_o, gstar_o, -jnp.inf)
+    imax = jnp.argmax(gstar_masked_neg, axis=1)
+    i1 = jnp.minimum(imin, imax)[:, None]
+    i2 = jnp.maximum(imin, imax)[:, None]
+    # exclude samples hard against the extrema: there f is a numerically
+    # broken 0·∞ product (√(g✶(1−g✶)) → 0 while J → ∞). The reference drops
+    # g✶ ∉ (h, 1−h) the same way (`_make_sorted_with_adjustments!`, :81-89).
+    interior = ok_o & (gstar_o > h) & (gstar_o < 1.0 - h)
+    b1 = (k >= i1) & (k <= i2) & interior
+    b2 = ((k <= i1) | (k >= i2)) & interior
+
+    gq = jnp.linspace(h_resample, 1.0 - h_resample, Ng)
+
+    res = jax.vmap(
+        lambda gs, fs, ts, m1, m2: (
+            _masked_resample(gq, gs, fs, m1),
+            _masked_resample(gq, gs, ts, m1),
+            _masked_resample(gq, gs, fs, m2),
+            _masked_resample(gq, gs, ts, m2),
+        )
+    )(gstar_o, f_o, t_o, b1, b2)
+    f1, t1, f2, t2 = res
+
+    # upper branch = larger mean f (reference uses adjacent-sample ordering)
+    b1_upper = jnp.mean(f1, axis=1) > jnp.mean(f2, axis=1)
+    sel = b1_upper[:, None]
+    upper_f = jnp.where(sel, f1, f2)
+    lower_f = jnp.where(sel, f2, f1)
+    upper_t = jnp.where(sel, t1, t2)
+    lower_t = jnp.where(sel, t2, t1)
+
+    grid = TransferBranchGrid(
+        radii=radii,
+        gmin=gmin,
+        gmax=gmax,
+        gstar=gq,
+        lower_f=lower_f,
+        upper_f=upper_f,
+        lower_t=lower_t,
+        upper_t=upper_t,
+    )
+    if return_samples:
+        f_sorted = jnp.take_along_axis(f_all, order, axis=1)
+        samples = dict(
+            theta=jnp.take_along_axis(th_all, order, axis=1),
+            gstar=gstar_o,
+            f=f_sorted,
+            t=t_o,
+            ok=ok_o,
+        )
+        return grid, samples
+    return grid
+
+
+def disc_solver_tile(disc, N):
+    """Tile per-radius datum planes across the angle axis if needed."""
+    if isinstance(disc, DatumPlane) and jnp.ndim(disc.height) == 1:
+        return DatumPlane(jnp.repeat(disc.height, N))
+    return disc
+
+
+def transferfunctions(
+    m: AbstractMetric,
+    x,
+    d,
+    *,
+    min_re=None,
+    max_re: float = 50.0,
+    num_re: int = 100,
+    radii=None,
+    **kwargs,
+) -> TransferBranchGrid:
+    """Pre-compute transfer functions over an inverse-spaced radial grid
+    (reference `transferfunctions`, cunningham-transfer-functions.jl:547-569;
+    defaults minrₑ = isco + 1e-2, maxrₑ = 50, numrₑ = 100)."""
+    from gradus_tpu.orbits.special_radii import isco as _isco
+    from gradus_tpu.camera.grids import InverseGrid
+
+    if radii is None:
+        if min_re is None:
+            min_re = _isco(m) + 1e-2
+        radii = InverseGrid()(min_re, max_re, num_re)
+    return cunningham_transfer_function(m, x, d, radii, **kwargs)
+
+
+# reference-parity alias
+interpolated_transfer_branches = transferfunctions

@@ -1,0 +1,62 @@
+"""Transfer functions + line profile — reference golden parity.
+
+These run the full batched offset-solver / CTF / integration pipeline, so they
+are the slowest tests in the suite (while-loop compile + ~10⁴ traced
+geodesics on CPU).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gradus_tpu as gt
+
+
+def test_offset_solver_flat_and_kerr():
+    """Offset root-finder hits requested emission radii to ~1e-7."""
+    m = gt.SchwarzschildMetric(M=1.0)
+    x = jnp.array([0.0, 1000.0, np.deg2rad(60.0), 0.0])
+    d = gt.DatumPlane(0.0)
+    r_targets = jnp.array([6.0, 10.0, 20.0])
+    thetas = jnp.array([np.pi / 2, np.pi / 2, 0.3])
+    r_off, gp, resid = gt.find_offset_for_radius(m, x, d, r_targets, thetas)
+    assert np.all(np.isfinite(np.asarray(r_off)))
+    np.testing.assert_array_less(np.abs(np.asarray(resid)), 1e-6)
+    # offsets are close to (but lensed slightly off) the target radii
+    rho = np.asarray(gp.x[:, 1] * jnp.sin(gp.x[:, 2]))
+    np.testing.assert_allclose(rho, np.asarray(r_targets), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def kerr_line_profile():
+    """Reference `test/line-profiles/test-cunningham.jl:10-22`: Kerr a=0.6,
+    i=60°, ThinDisc(0, 250), bins 0.1:1.3×100, N=40, numrₑ=30."""
+    m = gt.KerrMetric(M=1.0, a=0.6)
+    x = jnp.array([0.0, 1000.0, np.deg2rad(60.0), 0.0])
+    d = gt.ThinDisc(0.0, 250.0)
+    bins = jnp.linspace(0.1, 1.3, 100)
+    bins_out, flux = gt.lineprofile(m, x, d, bins=bins, N=40, num_re=30)
+    return np.asarray(bins_out), np.asarray(flux)
+
+
+def test_lineprofile_edges_golden(kerr_line_profile):
+    bins, flux = kerr_line_profile
+    nz = np.nonzero(flux > 0)[0]
+    g_low = bins[nz[0]]
+    g_high = bins[nz[-1]]
+    assert np.isclose(g_low, 0.355, atol=0.05)
+    assert np.isclose(g_high, 1.2, atol=0.05)
+
+
+def test_lineprofile_normalized(kerr_line_profile):
+    _, flux = kerr_line_profile
+    np.testing.assert_allclose(flux.sum(), 1.0, rtol=1e-10)
+    assert (flux >= 0).all()
+
+
+def test_lineprofile_shape(kerr_line_profile):
+    """Double-horned profile: the blue (high-g) peak is the global max and
+    exceeds the red peak."""
+    bins, flux = kerr_line_profile
+    peak_g = bins[np.argmax(flux)]
+    assert 0.9 < peak_g < 1.25
