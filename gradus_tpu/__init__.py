@@ -118,5 +118,21 @@ from gradus_tpu.transfer import (
     integrate_lagtransfer,
 )
 from gradus_tpu.lineprofile import lineprofile, TransferFunctionMethod, BinningMethod
+from gradus_tpu.corona import (
+    LampPostModel,
+    BeamedPointSource,
+    RingCorona,
+    DiscCorona,
+    PowerLawSpectrum,
+    EvenSampler,
+    WeierstrassSampler,
+    LowerHemisphere,
+    BothHemispheres,
+    emissivity_profile,
+    tracecorona,
+    RadialDiscProfile,
+    AnalyticRadialDiscProfile,
+)
+from gradus_tpu.reverberation import lag_frequency, continuum_time, lagtransfer, binflux
 
 __version__ = "0.1.0"

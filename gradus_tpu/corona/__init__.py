@@ -1,0 +1,24 @@
+from gradus_tpu.corona.samplers import (
+    LowerHemisphere,
+    BothHemispheres,
+    EvenSampler,
+    WeierstrassSampler,
+    sky_angles_to_velocity,
+)
+from gradus_tpu.corona.spectra import PowerLawSpectrum
+from gradus_tpu.corona.models import (
+    LampPostModel,
+    BeamedPointSource,
+    RingCorona,
+    DiscCorona,
+)
+from gradus_tpu.corona.profiles import RadialDiscProfile, AnalyticRadialDiscProfile
+from gradus_tpu.corona.emissivity import (
+    proper_area,
+    energy_ratio,
+    lorentz_factor,
+    local_velocity,
+    emissivity_profile,
+    tracecorona,
+    point_source_emissivity_profile,
+)

@@ -1,0 +1,184 @@
+"""Reverberation: lag-frequency spectra from the 2D (g, t) lag transfer.
+
+Reference: `src/reverberation.jl`. The impulse response ψ(t) = Σ_g flux(g, t)
+is zero-padded to 1/flo, FFT'd, and the lag is τ(f) = -atan(Im𝔉ψ/(1+Re𝔉ψ))/(2πf)
+(reverberation.jl:17-45).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from gradus_tpu.corona.emissivity import emissivity_profile
+from gradus_tpu.corona.profiles import AnalyticRadialDiscProfile
+from gradus_tpu.corona.spectra import PowerLawSpectrum
+from gradus_tpu.metrics.base import AbstractMetric
+from gradus_tpu.transfer.cunningham import transferfunctions
+from gradus_tpu.transfer.integration import integrate_lagtransfer
+from gradus_tpu.transfer.solvers import find_offset_for_radius
+
+__all__ = ["lag_frequency", "continuum_time", "lagtransfer", "binflux"]
+
+
+def continuum_time(m: AbstractMetric, x, model, rho_factor: float = 1e-3):
+    """Coordinate arrival time of the direct corona → observer ray.
+
+    The reference Nelder-Meads (α, β) to minimise the closest approach to the
+    source (`optimize_for_target`, precision-solvers.jl:453-546). For an
+    on-axis source this is equivalent to root-finding the ray that crosses the
+    source's height plane at the source's cylindrical radius — which reuses
+    the batched offset solver."""
+    from gradus_tpu.geometry.discs import DatumPlane
+
+    x_src, _ = model.sample_position_velocity(m)
+    z_src = x_src[1] * jnp.cos(x_src[2])
+    rho_src = jnp.maximum(x_src[1] * jnp.sin(x_src[2]), rho_factor * x_src[1])
+    plane = DatumPlane(z_src)
+    r_off, gp, resid = find_offset_for_radius(
+        m,
+        x,
+        plane,
+        jnp.atleast_1d(rho_src),
+        jnp.atleast_1d(jnp.asarray(np.pi / 2, x.dtype)),
+    )
+    return gp.x[0, 0]
+
+
+def lag_frequency(*args, **kwargs):
+    """Two dispatches (reference parity):
+
+    - lag_frequency(t, flux2d, flo=5e-5) → (freq, τ)
+    - lag_frequency(m, x, d, model; ...) → (tbins, bins, flux2d)
+    """
+    if isinstance(args[0], AbstractMetric):
+        return _lag_frequency_model(*args, **kwargs)
+    return _lag_frequency_fft(*args, **kwargs)
+
+
+def _lag_frequency_fft(t, f, flo: float = 5e-5, R: float = 1.0):
+    t = np.asarray(t)
+    f = np.asarray(f)
+    if f.ndim == 2:
+        # impulse response: NaN-tolerant sum over the energy axis
+        psi = np.nansum(f, axis=0)
+    else:
+        psi = f
+    dt = t[1] - t[0]
+    t_ext = np.arange(t.min(), 1.0 / flo + dt, dt)
+    psi_ext = np.zeros_like(t_ext)
+    psi_ext[: psi.shape[0]] = psi
+
+    freq = np.fft.fftfreq(len(t_ext), dt)
+    F = R * np.fft.fft(psi_ext)
+    half = len(freq) // 2
+    phase = np.arctan(np.imag(F[:half]) / (1.0 + np.real(F[:half])))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tau = phase / (2 * np.pi * freq[:half])
+    return freq[:half], -tau
+
+
+def _lag_frequency_model(
+    m: AbstractMetric,
+    x,
+    d,
+    model,
+    *,
+    n_radii: int = 6000,
+    bins=None,
+    tbins=None,
+    spectrum=PowerLawSpectrum(2.0),
+    radii=None,
+    n_samples: int = 1000,
+    **kwargs,
+):
+    from gradus_tpu.orbits.special_radii import isco as _isco
+
+    x = jnp.asarray(x)
+    if bins is None:
+        bins = jnp.linspace(0.0, 1.5, 500, dtype=x.dtype)
+    if tbins is None:
+        tbins = jnp.linspace(0.0, 1000.0, 2000, dtype=x.dtype)
+    if radii is None:
+        radii = jnp.linspace(_isco(m) + 1e-2, 300.0, 100, dtype=x.dtype)
+
+    prof = emissivity_profile(m, d, model, spectrum, n_samples=n_samples)
+    t0 = continuum_time(m, x, model)
+    tfs = transferfunctions(m, x, d, radii=radii, **kwargs)
+    flux = integrate_lagtransfer(
+        prof, tfs, bins, tbins, t0=t0, n_radii=n_radii
+    )
+    flux = jnp.where(flux == 0, jnp.nan, flux)
+    return tbins, bins, flux
+
+
+def lagtransfer(m, x, d, model, **kwargs):
+    """Observer-to-disc + corona-to-disc combination; binning-method analogue
+    of the lag transfer (reference transfer-functions-2d.jl:160-216).
+    Returns a dict with the traced components for `binflux`."""
+    from gradus_tpu.camera.planes import PolarPlane
+    from gradus_tpu.camera.grids import GeometricGrid
+    from gradus_tpu.camera.impact import map_impact_parameters
+    from gradus_tpu.integrate.tracing import trace_geodesics, domain_upper_hemisphere
+    from gradus_tpu.integrate.status import StatusCodes
+
+    x = jnp.asarray(x)
+    plane = kwargs.pop(
+        "plane", PolarPlane(GeometricGrid(), Nr=800, Ntheta=800, r_max=50.0)
+    )
+    max_t = kwargs.pop("max_t", 2.0 * x[1])
+    n_samples = kwargs.pop("n_samples", 10000)
+    prof = emissivity_profile(m, d, model, n_samples=n_samples)
+
+    alpha, beta = plane.impact_parameters()
+    areas = plane.unnormalized_areas()
+    v = map_impact_parameters(m, x, alpha, beta)
+    xs = jnp.broadcast_to(x, v.shape)
+    gps = trace_geodesics(
+        m,
+        xs,
+        v,
+        (0.0, max_t),
+        geometry=d,
+        chart_outer=1.1 * float(x[1]),
+        terminate_fns=(domain_upper_hemisphere(),),
+    )
+    hit = gps.status == StatusCodes.IntersectedWithGeometry
+    return dict(
+        max_t=max_t, x=x, areas=areas, profile=prof, points=gps, hit=hit, metric=m
+    )
+
+
+def binflux(tf: dict, profile=None, E0: float = 6.4, N_E: int = 300, N_t: int = 300):
+    """Bin the lag transfer into (t, E) flux (reference `binflux`,
+    transfer-functions-2d.jl:218-241): f = g³·ε·area."""
+    from gradus_tpu.redshift import redshift_pointfunction
+    from gradus_tpu.utils.linalg import equatorial_project
+
+    m = tf["metric"]
+    gps = tf["points"]
+    hit = tf["hit"]
+    prof = profile or tf["profile"]
+    r = equatorial_project(gps.x)
+    t = prof.coordtime_at(r) + gps.x[..., 0]
+    eps = prof.emissivity_at(r)
+    pf = redshift_pointfunction(m, tf["x"])
+    g = pf(m, gps, tf["max_t"])
+    f = jnp.where(hit, g**3 * eps * tf["areas"], 0.0)
+    F = f / jnp.sum(f)
+
+    E = g * E0
+    t_np = np.asarray(jnp.where(hit, t, jnp.nan))
+    E_np = np.asarray(jnp.where(hit, E, jnp.nan))
+    F_np = np.asarray(F)
+    msk = np.isfinite(t_np) & np.isfinite(E_np)
+    e_bins = np.linspace(np.nanmin(E_np), np.nanmax(E_np), N_E)
+    t_bins = np.linspace(np.nanmin(t_np), np.nanmax(t_np), N_t)
+    H, _, _ = np.histogram2d(
+        E_np[msk], t_np[msk], bins=[e_bins, t_bins], weights=F_np[msk]
+    )
+    de = e_bins[1] - e_bins[0]
+    dt = t_bins[1] - t_bins[0]
+    H = H / (de * dt)
+    H[H == 0] = np.nan
+    return t_bins - float(tf["x"][1]), e_bins, H

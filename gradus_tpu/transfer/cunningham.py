@@ -145,6 +145,8 @@ def cunningham_transfer_function(
     zero_atol: float = 1e-7,
     newton_iters: int = 30,
     lam_max=None,
+    alpha0: float = 0.0,
+    beta0: float = 0.0,
     return_samples: bool = False,
 ) -> TransferBranchGrid:
     """Compute transfer functions for an array of emission radii at once.
@@ -181,6 +183,8 @@ def cunningham_transfer_function(
             lam_max=lam_max,
             zero_atol=zero_atol,
             max_iter=newton_iters,
+            alpha0=alpha0,
+            beta0=beta0,
         )
 
     def workhorse_for_radii(thetas_nr, disc_local):

@@ -210,12 +210,19 @@ def integrate_lagtransfer(
     k_lower = _integrate_bins(branch_S("lower_f"), g_grid / g_scale, gmin, gmax, h, quad)
     k_upper = _integrate_bins(branch_S("upper_f"), g_grid / g_scale, gmin, gmax, h, quad)
 
-    # arrival time per (radius, bin): branch time at the bin-centre g✶
-    g_mid = 0.5 * (g_grid[:-1] + g_grid[1:]) / g_scale
-    gstar_mid = (g_mid[None, :] - gmin[:, None]) / (gmax - gmin)[:, None]
-    gstar_mid = jnp.clip(gstar_mid, 1e-6, 1.0 - 1e-6)
-    t_lower = _branch_value(br["lower_t"], tfs.gstar, gstar_mid) + t_source_disc[:, None]
-    t_upper = _branch_value(br["upper_t"], tfs.gstar, gstar_mid) + t_source_disc[:, None]
+    # arrival time per (radius, bin): branch time averaged over the bin edges
+    # (reference `_time_bins`, integration.jl:103-112)
+    span_ = (gmax - gmin)[:, None]
+    gstar_e0 = jnp.clip((g_grid[None, :-1] / g_scale - gmin[:, None]) / span_, 1e-6, 1 - 1e-6)
+    gstar_e1 = jnp.clip((g_grid[None, 1:] / g_scale - gmin[:, None]) / span_, 1e-6, 1 - 1e-6)
+    t_lower = 0.5 * (
+        _branch_value(br["lower_t"], tfs.gstar, gstar_e0)
+        + _branch_value(br["lower_t"], tfs.gstar, gstar_e1)
+    ) + t_source_disc[:, None]
+    t_upper = 0.5 * (
+        _branch_value(br["upper_t"], tfs.gstar, gstar_e0)
+        + _branch_value(br["upper_t"], tfs.gstar, gstar_e1)
+    ) + t_source_disc[:, None]
 
     nb = g_grid.shape[0] - 1
     nt = t_grid.shape[0]
@@ -231,12 +238,14 @@ def integrate_lagtransfer(
 
     out = scatter(k_lower, t_lower) + scatter(k_upper, t_upper)
 
-    # normalize (reference matrix `_normalize!`, utils.jl:134-147)
+    # normalize (reference matrix `_normalize!`, utils.jl:134-147). NB: the
+    # reference's final `flux = flux ./ maximum(sum(flux, dims=2))` REBINDS a
+    # local instead of mutating, so it never reaches the returned array — the
+    # effective normalization is total = 1 only. Mirrored faithfully (the
+    # reverberation goldens depend on it through the 1+Re(𝔉ψ) phase).
     gbar = (g_grid[:-1] + g_grid[1:])[:, None]
     out = out / gbar
     total = jnp.sum(out)
     out = jnp.where(total > 0, out / total, out)
-    row_max = jnp.max(jnp.sum(out, axis=1))
-    out = jnp.where(row_max > 0, out / row_max, out)
     # pad to len(g_grid) rows like the reference output layout
     return jnp.concatenate([out, jnp.zeros((1, nt), out.dtype)], axis=0)

@@ -14,5 +14,6 @@ from gradus_tpu.utils.interp import (
     nan_tolerant_interp,
     linear_interp,
     make_interpolator,
+    masked_sorted_interp,
 )
 from gradus_tpu.utils.quadrature import gauss_legendre

@@ -57,6 +57,15 @@ def nan_tolerant_interp(xq, xs, ys):
     return linear_interp(xq, xs, ys_filled)
 
 
+def masked_sorted_interp(xq, xs, ys, n):
+    """Linear interpolation on a sorted knot array whose valid prefix has
+    length ``n`` (invalid tail is +inf). Queries clamp to the valid range."""
+    idx = jnp.clip(jnp.searchsorted(xs, xq, side="right") - 1, 0, n - 2)
+    x0, x1 = xs[idx], xs[idx + 1]
+    w = jnp.clip((xq - x0) / jnp.where(x1 <= x0, 1.0, x1 - x0), 0.0, 1.0)
+    return ys[idx] * (1 - w) + ys[idx + 1] * w
+
+
 def make_interpolator(xs, ys, nan_tolerant: bool = False):
     """Closure form mirroring the reference's `_make_interpolation`
     (`src/interpolations.jl:39-45`)."""
