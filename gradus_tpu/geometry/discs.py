@@ -63,6 +63,15 @@ class AbstractAccretionGeometry:
         the annulus). Defaults to true."""
         return jnp.ones(x4.shape[:-1], dtype=bool)
 
+    # --- radiative transfer coefficients (reference
+    # `absorption_coefficient`/`emissivity_coefficient`,
+    # radiative-transfer-problem.jl:25-27; default zero) -----------------
+    def absorption_coefficient(self, x4, nu):
+        return jnp.zeros(x4.shape[:-1], dtype=x4.dtype)
+
+    def emission_coefficient(self, x4, nu):
+        return jnp.zeros(x4.shape[:-1], dtype=x4.dtype)
+
     def inner_radius(self):
         return self.inner_r
 
@@ -140,7 +149,10 @@ class DatumPlane(AbstractAccretionGeometry):
 
 class AbstractThickAccretionDisc(AbstractAccretionGeometry):
     """Discs defined by a height cross-section h(ρ) ≤ 0 where undefined
-    (reference `src/geometry/discs/thick-disc.jl:55-62`)."""
+    (reference `src/geometry/discs/thick-disc.jl:55-62`). Optically thick by
+    default (only Thin/Warped/Datum are marked thin in the reference)."""
+
+    optically_thin = False
 
     def cross_section(self, rho):  # pragma: no cover - interface
         raise NotImplementedError

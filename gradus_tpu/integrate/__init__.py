@@ -6,6 +6,8 @@ from gradus_tpu.integrate.tracing import (
     TraceRadiativeTransfer,
     trace_geodesics,
     tracegeodesics,
+    trace_radiative_transfer,
+    trace_windings,
     make_geodesic_rhs,
     domain_upper_hemisphere,
 )

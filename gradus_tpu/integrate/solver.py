@@ -80,6 +80,7 @@ def integrate_rays(
     dt_min: float = 1e-10,
     bisect_iters: int = 24,
     newton_iters: int = 3,
+    terminate_on_hit: bool = True,
 ) -> IntegrationResult:
     """Integrate a batch of rays dy/dλ = f(y) from λ0 to λ1 with events.
 
@@ -96,6 +97,12 @@ def integrate_rays(
     hit_fn : validity predicate at a located crossing (annulus test).
     terminate_fns : tuple of ``(pred(y, lam) -> bool mask, status_code)``
         discrete step-end callbacks (e.g. domain_upper_hemisphere).
+    terminate_on_hit : when False, a validated crossing does NOT kill the ray;
+        instead the LAST state component is incremented by 1 (crossing
+        counter — used for winding counts and optically-thick radiative
+        transfer 'within geometry' flags; reference
+        `src/tracing/photon-rings.jl` and
+        `radiative-transfer-problem.jl:101-117`).
     """
     y0 = jnp.asarray(y0)
     N = y0.shape[:-1]
@@ -230,9 +237,20 @@ def integrate_rays(
         status = jnp.where(outer, StatusCodes.OutOfDomain, status)
         for (pred, code), mask in zip(terminate_fns, user_masks):
             status = jnp.where(mask, code, status)
-        status = jnp.where(hit_now, StatusCodes.IntersectedWithGeometry, status)
 
-        dead = hit_now | inner | outer | finished | failed
+        if terminate_on_hit:
+            status = jnp.where(
+                hit_now, StatusCodes.IntersectedWithGeometry, status
+            )
+            dead = hit_now | inner | outer | finished | failed
+        else:
+            # bump the crossing counter (last state component) and continue
+            y_out = jnp.where(
+                hit_now[..., None],
+                y_out.at[..., -1].add(1.0),
+                y_out,
+            )
+            dead = inner | outer | finished | failed
         for mask in user_masks:
             dead = dead | mask
         alive_out = alive & ~dead
@@ -262,7 +280,7 @@ def integrate_rays(
 
     y_f, lam_f, status = cf["y"], cf["lam"], cf["status"]
 
-    if have_geometry:
+    if have_geometry and terminate_on_hit:
         # Newton polish on the exact trajectory: one 5th-order RK substep from
         # the hit step's start to λ*, then λ* ← λ* − c(y*)/(∇c·f)(y*).
         hit = status == StatusCodes.IntersectedWithGeometry

@@ -198,3 +198,181 @@ def trace_geodesics(
 
 # reference-parity alias
 tracegeodesics = trace_geodesics
+
+
+def make_radiative_transfer_rhs(m: AbstractMetric, trace, geometry, r_isco):
+    """RHS over (..., 10) states u = (x, k, I, n_crossings): covariant
+    radiative transfer dI/dλ = ds/dλ·(−a_ν I + j_ν/ν³) integrated only while
+    inside the (optically thick) geometry volume.
+
+    Reference: `radiative_transfer` + `radiative_transfer_ode_problem`,
+    `src/tracing/radiative-transfer-problem.jl:1-34, 147-189`. The fluid
+    velocity is Keplerian outside the ISCO and the exact frozen-(E,L) plunge
+    inside (the reference uses the ISCO-only `plunging_fourvelocity`)."""
+    from gradus_tpu.redshift import keplerian_velocity_projector
+
+    project = keplerian_velocity_projector(m)
+
+    def f(y):
+        x, k, I = y[..., 0:4], y[..., 4:8], y[..., 8]
+        acc = geodesic_equation(m, x, k)
+        u = project(x)
+        dsdlam = -jnp.einsum(
+            "...ij,...i,...j->...", m.metric(x), k, u
+        )
+        nu = trace.nu * dsdlam
+        a_nu = geometry.absorption_coefficient(x, nu)
+        j_nu = geometry.emission_coefficient(x, nu)
+        within = jnp.mod(y[..., 9], 2.0) >= 1.0
+        dI = jnp.where(
+            within, dsdlam * (-a_nu * I + j_nu / jnp.maximum(nu, 1e-30) ** 3), 0.0
+        )
+        zeros = jnp.zeros_like(dI)
+        return jnp.concatenate(
+            [k, acc, dI[..., None], zeros[..., None]], axis=-1
+        )
+
+    return f
+
+
+def trace_radiative_transfer(
+    m: AbstractMetric,
+    x,
+    v,
+    lam_span=(0.0, 2000.0),
+    *,
+    trace: TraceRadiativeTransfer | None = None,
+    geometry=None,
+    gtol: float = 1e-2,
+    chart_outer: float = 12000.0,
+    abstol=None,
+    reltol=None,
+    max_steps: int = 40000,
+    constrain: bool = True,
+) -> GeodesicPoint:
+    """Radiative-transfer trace: integrates the invariant intensity along the
+    ray. Optically thin geometry terminates the ray at the surface; optically
+    thick geometry toggles an inside/outside flag at each boundary crossing
+    and integrates the transfer equation through the volume.
+
+    The endpoint's ``aux`` carries (I, n_crossings)."""
+    from gradus_tpu.integrate.solver import integrate_rays
+    from gradus_tpu.orbits.special_radii import isco as _isco
+
+    if geometry is None:
+        raise ValueError("radiative transfer requires geometry")
+    if trace is None:
+        trace = TraceRadiativeTransfer()
+
+    single = jnp.ndim(x) == 1 and jnp.ndim(v) == 1
+    x = jnp.atleast_2d(jnp.asarray(x))
+    v = jnp.atleast_2d(jnp.asarray(v))
+    x, v = jnp.broadcast_arrays(x, v)
+    if constrain:
+        v = constrain_all(m, x, v, mu=trace.mu)
+
+    a_tol, r_tol = _config.default_tols(x.dtype)
+    abstol = a_tol if abstol is None else abstol
+    reltol = r_tol if reltol is None else reltol
+
+    r_isco = _isco(m)
+    f = make_radiative_transfer_rhs(m, trace, geometry, r_isco)
+
+    def crossing_fn(y):
+        return geometry.crossing_indicator(y[..., 0:4])
+
+    def hit_fn(y):
+        return geometry.is_hit(y[..., 0:4], gtol=gtol)
+
+    N = x.shape[:-1]
+    extra = jnp.concatenate(
+        [
+            jnp.full(N + (1,), trace.I0, x.dtype),
+            jnp.zeros(N + (1,), x.dtype),
+        ],
+        axis=-1,
+    )
+    y0 = jnp.concatenate([x, v, extra], axis=-1)
+    result = integrate_rays(
+        f,
+        y0,
+        lam_span,
+        abstol=abstol,
+        reltol=reltol,
+        r_inner=m.inner_radius() * 1.01,
+        r_outer=chart_outer,
+        crossing_fn=crossing_fn,
+        hit_fn=hit_fn,
+        max_steps=max_steps,
+        terminate_on_hit=geometry.optically_thin,
+    )
+    gp = unpack_solution(result)
+    if single:
+        gp = gp[0]
+    return gp
+
+
+class _WindingPlane:
+    """Plane of constant θ used for winding counts."""
+
+    optically_thin = False
+
+    def __init__(self, inc):
+        self.inc = inc
+
+    def crossing_indicator(self, x4):
+        return x4[..., 2] - self.inc
+
+    def is_hit(self, x4, gtol=1e-2):
+        return jnp.ones(x4.shape[:-1], dtype=bool)
+
+
+def trace_windings(
+    m: AbstractMetric,
+    x,
+    v,
+    lam_span=(0.0, 2000.0),
+    *,
+    plane_inc: float = jnp.pi / 2,
+    mu: float = 0.0,
+    **kwargs,
+):
+    """Count crossings of the θ = plane_inc plane along each geodesic
+    (photon rings / higher-order images; reference `TraceWindings`,
+    `src/tracing/photon-rings.jl`). Returns (GeodesicPoint, windings)."""
+    from gradus_tpu.integrate.solver import integrate_rays
+
+    single = jnp.ndim(x) == 1 and jnp.ndim(v) == 1
+    x = jnp.atleast_2d(jnp.asarray(x))
+    v = jnp.atleast_2d(jnp.asarray(v))
+    x, v = jnp.broadcast_arrays(x, v)
+    v = constrain_all(m, x, v, mu=mu)
+
+    a_tol, r_tol = _config.default_tols(x.dtype)
+    plane = _WindingPlane(plane_inc)
+    f8 = make_geodesic_rhs(m, TraceGeodesic(mu=mu))
+
+    def f(y):
+        dy = f8(y[..., :8])
+        return jnp.concatenate([dy, jnp.zeros_like(y[..., 8:9])], axis=-1)
+
+    y0 = jnp.concatenate([x, v, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1)
+    result = integrate_rays(
+        f,
+        y0,
+        lam_span,
+        abstol=a_tol,
+        reltol=r_tol,
+        r_inner=m.inner_radius() * 1.01,
+        r_outer=kwargs.get("chart_outer", 12000.0),
+        crossing_fn=lambda y: plane.crossing_indicator(y[..., 0:4]),
+        hit_fn=lambda y: plane.is_hit(y[..., 0:4]),
+        terminate_on_hit=False,
+        max_steps=kwargs.get("max_steps", 40000),
+    )
+    gp = unpack_solution(result)
+    windings = result.y[..., 8].astype(jnp.int32)
+    if single:
+        gp = gp[0]
+        windings = windings[0]
+    return gp, windings

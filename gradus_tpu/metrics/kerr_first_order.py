@@ -1,0 +1,230 @@
+"""First-order Kerr geodesics via Carter constants.
+
+Reference: `src/metrics/kerr-metric-first-order.jl` — the reference integrates
+the 4-position with velocities reconstructed from (E, L, Q) and flips the
+radial/angular signs with callbacks when the effective potentials Vr, Vθ cross
+zero (first-order.jl:163-179).
+
+TPU redesign: integrate in **Mino time** τ (dλ = Σ dτ), where the Carter
+equations separate and the second-order form
+
+    d²r/dτ² = ½ R'(r),    d²θ/dτ² = ½ Θ'(θ),
+    dt/dτ = (r²+a²)/Δ·[E(r²+a²) − aL] + a(L − aE sin²θ),
+    dφ/dτ = a/Δ·[E(r²+a²) − aL] + L/sin²θ − aE,
+
+is smooth through turning points — no sign logic, no callbacks, no AD in the
+hot loop. The affine parameter is carried as an extra state component
+(dλ/dτ = Σ) so λ-domain semantics match the second-order tracer.
+
+State: u = (t, r, θ, φ, p_r, p_θ, λ) with p = d(r,θ)/dτ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gradus_tpu import config as _config
+from gradus_tpu.metrics.kerr import KerrMetric, kerr_isco
+from gradus_tpu.metrics.base import metric_dataclass, AbstractMetric
+
+__all__ = ["KerrSpacetimeFirstOrder", "carter_constants", "trace_geodesics_first_order"]
+
+
+@metric_dataclass
+class KerrSpacetimeFirstOrder(AbstractMetric):
+    """Kerr via the first-order Carter formalism. Shares the Boyer-Lindquist
+    components with `KerrMetric` (used for initial-condition construction and
+    redshift) but integrates the separated equations."""
+
+    M: float = 1.0
+    a: float = 0.0
+
+    def components(self, r, theta):
+        return KerrMetric(M=self.M, a=self.a).components(r, theta)
+
+    def inner_radius(self):
+        return self.M + jnp.sqrt(self.M**2 - self.a**2)
+
+    def isco(self):
+        return kerr_isco(self.M, self.a)
+
+
+def carter_constants(m, x, v, mu=0.0):
+    """(E, L, Q) from a position/velocity pair (reference `calc_lq` +
+    conserved quantities, kerr-metric-first-order.jl:228-310)."""
+    g = m.metric(x)
+    E = -(g[..., 0, 0] * v[..., 0] + g[..., 0, 3] * v[..., 3])
+    L = g[..., 3, 3] * v[..., 3] + g[..., 0, 3] * v[..., 0]
+    theta = x[..., 2]
+    sigma = x[..., 1] ** 2 + m.a**2 * jnp.cos(theta) ** 2
+    p_theta = g[..., 2, 2] * v[..., 2]  # = Σ v^θ (g_θθ = Σ)
+    cos2 = jnp.cos(theta) ** 2
+    Q = p_theta**2 + cos2 * (
+        m.a**2 * (mu**2 - E**2) + L**2 / jnp.sin(theta) ** 2
+    )
+    return E, L, Q
+
+
+def _potential_R(m, E, L, Q, mu, r):
+    a = m.a
+    delta = r * r - 2.0 * m.M * r + a * a
+    P = E * (r * r + a * a) - a * L
+    return P * P - delta * ((L - a * E) ** 2 + Q + mu * mu * r * r)
+
+
+def _potential_Theta(m, E, L, Q, mu, theta):
+    a = m.a
+    cos2 = jnp.cos(theta) ** 2
+    sin2 = jnp.sin(theta) ** 2
+    return Q - cos2 * (a * a * (mu * mu - E * E) + L * L / sin2)
+
+
+def make_first_order_rhs(m: KerrSpacetimeFirstOrder, E, L, Q, mu=0.0):
+    """RHS over (..., 7) Mino-time states."""
+    a = m.a
+
+    def f(u):
+        r = u[..., 1]
+        theta = u[..., 2]
+        pr = u[..., 4]
+        pth = u[..., 5]
+        sin2 = jnp.sin(theta) ** 2
+        cos2 = 1.0 - sin2
+        sigma = r * r + a * a * cos2
+        delta = r * r - 2.0 * m.M * r + a * a
+        P = E * (r * r + a * a) - a * L
+
+        dt = (r * r + a * a) / delta * P + a * (L - a * E * sin2)
+        dphi = a / delta * P + L / sin2 - a * E
+
+        # d/dr R(r): analytic derivative of the quartic
+        dRdr = (
+            4.0 * E * r * P
+            - (2.0 * r - 2.0 * m.M) * ((L - a * E) ** 2 + Q + mu * mu * r * r)
+            - delta * 2.0 * mu * mu * r
+        )
+        # d/dθ Θ(θ)
+        sincos = jnp.sin(theta) * jnp.cos(theta)
+        dThdth = 2.0 * sincos * (
+            a * a * (mu * mu - E * E) + L * L / sin2
+        ) + cos2 * (2.0 * L * L * jnp.cos(theta) / (sin2 * jnp.sin(theta)))
+
+        return jnp.stack(
+            [dt, pr, pth, dphi, 0.5 * dRdr, 0.5 * dThdth, sigma], axis=-1
+        )
+
+    return f
+
+
+def trace_geodesics_first_order(
+    m: KerrSpacetimeFirstOrder,
+    x,
+    v,
+    lam_span=(0.0, 2000.0),
+    *,
+    mu: float = 0.0,
+    geometry=None,
+    gtol: float = 1e-2,
+    chart_outer: float = 12000.0,
+    abstol=None,
+    reltol=None,
+    max_steps: int = 40000,
+    mino_span_factor: float = 10.0,
+    constrain: bool = True,
+):
+    """Trace Kerr geodesics with the separated first-order equations.
+
+    Returns a GeodesicPoint batch with reconstructed 4-velocities (dx/dλ)."""
+    from gradus_tpu.geodesics.equation import constrain_all
+    from gradus_tpu.integrate.points import GeodesicPoint
+    from gradus_tpu.integrate.solver import integrate_rays
+    from gradus_tpu.integrate.status import StatusCodes
+
+    single = jnp.ndim(x) == 1 and jnp.ndim(v) == 1
+    x = jnp.atleast_2d(jnp.asarray(x))
+    v = jnp.atleast_2d(jnp.asarray(v))
+    x, v = jnp.broadcast_arrays(x, v)
+    if constrain:
+        v = constrain_all(m, x, v, mu=mu)
+
+    a_tol, r_tol = _config.default_tols(x.dtype)
+    abstol = a_tol if abstol is None else abstol
+    reltol = r_tol if reltol is None else reltol
+
+    E, L, Q = carter_constants(m, x, v, mu)
+    f = make_first_order_rhs(m, E, L, Q, mu)
+
+    sigma0 = x[..., 1] ** 2 + m.a**2 * jnp.cos(x[..., 2]) ** 2
+    pr0 = sigma0 * v[..., 1]
+    pth0 = sigma0 * v[..., 2]
+    lam0 = jnp.full(x.shape[:-1], lam_span[0], x.dtype)
+    u0 = jnp.concatenate(
+        [x, pr0[..., None], pth0[..., None], lam0[..., None]], axis=-1
+    )
+
+    # λ-domain termination via the carried affine parameter
+    lam_max = jnp.asarray(lam_span[1], x.dtype)
+
+    def lam_done(y, lam):
+        return y[..., 6] >= lam_max
+
+    crossing_fn = hit_fn = None
+    if geometry is not None:
+        def crossing_fn(y):
+            return geometry.crossing_indicator(y[..., 0:4])
+
+        def hit_fn(y):
+            return geometry.is_hit(y[..., 0:4], gtol=gtol)
+
+    # Mino-time span: generous upper bound; rays terminate via chart/disc/λ
+    tau_max = mino_span_factor * (lam_span[1] - lam_span[0]) / jnp.maximum(
+        jnp.min(x[..., 1]) ** 2, 1.0
+    ) + 1.0
+
+    result = integrate_rays(
+        f,
+        u0,
+        (0.0, tau_max),
+        abstol=abstol,
+        reltol=reltol,
+        r_inner=m.inner_radius() * 1.01,
+        r_outer=chart_outer,
+        crossing_fn=crossing_fn,
+        hit_fn=hit_fn,
+        terminate_fns=((lam_done, StatusCodes.NoStatus),),
+        max_steps=max_steps,
+    )
+
+    y = result.y
+    r_f = y[..., 1]
+    th_f = y[..., 2]
+    sigma = r_f**2 + m.a**2 * jnp.cos(th_f) ** 2
+    delta = r_f**2 - 2.0 * m.M * r_f + m.a**2
+    P = E * (r_f**2 + m.a**2) - m.a * L
+    sin2 = jnp.sin(th_f) ** 2
+    v_f = jnp.stack(
+        [
+            ((r_f**2 + m.a**2) / delta * P + m.a * (L - m.a * E * sin2)) / sigma,
+            y[..., 4] / sigma,
+            y[..., 5] / sigma,
+            (m.a / delta * P + L / sin2 - m.a * E) / sigma,
+        ],
+        axis=-1,
+    )
+    gp = GeodesicPoint(
+        status=result.status,
+        lam_min=jnp.full(r_f.shape, lam_span[0], y.dtype),
+        lam_max=y[..., 6],
+        x_init=x,
+        v_init=v,
+        x=y[..., 0:4],
+        v=v_f,
+        aux=None,
+    )
+    if single:
+        gp = gp[0]
+    return gp
