@@ -116,7 +116,11 @@ from gradus_tpu.transfer import (
     TransferBranchGrid,
     integrate_lineprofile,
     integrate_lagtransfer,
+    CunninghamTransferTable,
+    make_transfer_function_table,
+    LineProfileModel,
 )
+from gradus_tpu.geometry import MeshAccretionGeometry
 from gradus_tpu.lineprofile import lineprofile, TransferFunctionMethod, BinningMethod
 from gradus_tpu.corona import (
     LampPostModel,

@@ -1,3 +1,4 @@
+from gradus_tpu.geometry.meshes import MeshAccretionGeometry, jsf_segment_triangle
 from gradus_tpu.geometry.discs import (
     AbstractAccretionGeometry,
     ThinDisc,

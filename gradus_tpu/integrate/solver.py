@@ -74,6 +74,7 @@ def integrate_rays(
     r_outer,
     crossing_fn: Callable | None = None,
     hit_fn: Callable | None = None,
+    segment_fn: Callable | None = None,
     terminate_fns: tuple = (),
     max_steps: int = 40000,
     n_interp: int = 8,
@@ -210,6 +211,22 @@ def integrate_rays(
             )
             hit_now = candidate & valid
             c_prev_new = jnp.where(accept, c_all[-1], c["c_prev"])
+        elif segment_fn is not None:
+            # segment-based geometry (meshes): test each interpolant chord;
+            # terminate at step end like the reference's DiscreteCallback
+            f0 = c["k1"]
+
+            def pos_at(theta):
+                ys = hermite_interp(
+                    jnp.broadcast_to(theta, lam.shape), y, y_new, f0, k7, dt_eff
+                )
+                return ys[..., 0:4]
+
+            pts = jax.vmap(pos_at)(jnp.concatenate([jnp.zeros(1, dtype), thetas]))
+            seg_hits = jax.vmap(segment_fn)(pts[:-1], pts[1:])  # (K, N)
+            hit_now = jnp.any(seg_hits, axis=0) & accept
+            th_c = jnp.ones(N, dtype)
+            c_prev_new = c["c_prev"]
         else:
             hit_now = jnp.zeros_like(alive)
             th_c = jnp.zeros(N, dtype)

@@ -166,13 +166,20 @@ def trace_geodesics(
 
     crossing_fn = None
     hit_fn = None
+    segment_fn = None
     if geometry is not None:
+        if getattr(geometry, "segment_based", False):
 
-        def crossing_fn(y):
-            return geometry.crossing_indicator(y[..., 0:4])
+            def segment_fn(xa, xb):
+                return geometry.segment_hit(xa, xb)
 
-        def hit_fn(y):
-            return geometry.is_hit(y[..., 0:4], gtol=gtol)
+        else:
+
+            def crossing_fn(y):
+                return geometry.crossing_indicator(y[..., 0:4])
+
+            def hit_fn(y):
+                return geometry.is_hit(y[..., 0:4], gtol=gtol)
 
     f = make_geodesic_rhs(m, trace)
     y0 = jnp.concatenate([x, v], axis=-1)
@@ -186,6 +193,7 @@ def trace_geodesics(
         r_outer=chart_outer,
         crossing_fn=crossing_fn,
         hit_fn=hit_fn,
+        segment_fn=segment_fn,
         terminate_fns=terminate_fns,
         max_steps=max_steps,
         n_interp=n_interp,

@@ -9,3 +9,8 @@ from gradus_tpu.orbits.plunging import (
     PlungingInterpolation,
     interpolate_plunging_velocities,
 )
+from gradus_tpu.orbits.solving import (
+    solve_equatorial_circular_orbit,
+    solve_orbit_theta,
+    charged_circular_orbit_omega,
+)

@@ -16,3 +16,8 @@ from gradus_tpu.transfer.integration import (
     integrate_lineprofile,
     integrate_lagtransfer,
 )
+from gradus_tpu.transfer.tables import (
+    CunninghamTransferTable,
+    make_transfer_function_table,
+    LineProfileModel,
+)

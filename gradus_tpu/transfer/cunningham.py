@@ -137,7 +137,7 @@ def cunningham_transfer_function(
     radii,
     *,
     N: int = 80,
-    N_extrema: int = 16,
+    N_extrema: int = 15,  # + 2 init evals = 17 probes/side (reference M = N + 2·17)
     Ng: int = 64,
     theta_offset: float = 0.3,
     h: float = 1e-6,
@@ -163,12 +163,15 @@ def cunningham_transfer_function(
     if isinstance(d, ThinDisc):
         disc = DatumPlane(jnp.asarray(0.0, x.dtype))
         jacobian_disc = disc
+        verify_disc = None
     elif isinstance(d, AbstractThickAccretionDisc):
         disc = None  # per-radius datum plane below
         jacobian_disc = d
+        verify_disc = d
     else:
         disc = d
         jacobian_disc = d
+        verify_disc = None
 
     thetas0 = _theta_samples(N, theta_offset, x.dtype)
 
@@ -180,6 +183,7 @@ def cunningham_transfer_function(
             radii_per_pair,
             _avoid_poles(theta_per_pair),
             jacobian_disc=jacobian_disc,
+            verify_disc=verify_disc,
             lam_max=lam_max,
             zero_atol=zero_atol,
             max_iter=newton_iters,

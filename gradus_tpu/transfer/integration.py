@@ -119,7 +119,6 @@ def _normalize_flux(flux, g_grid):
         "h",
         "n_radii",
         "quadrature_points",
-        "g_scale",
         "normalize",
     ),
 )

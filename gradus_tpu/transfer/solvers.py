@@ -181,6 +181,7 @@ def offset_workhorse(
     *,
     redshift_pf=None,
     jacobian_disc=None,
+    verify_disc=None,
     lam_max=None,
     alpha0: float = 0.0,
     beta0: float = 0.0,
@@ -225,6 +226,34 @@ def offset_workhorse(
     # Jacobian |∂(α,β)/∂(ρ,g)| via two forward passes through the trace
     alpha, beta = rtheta_to_alphabeta(r_safe, thetas, alpha0, beta0)
 
+    thick = verify_disc is not None
+    if thick:
+        # thick-disc visibility: re-trace the solved ray against the REAL
+        # disc; if the hit moved (occluded by the disc's own bulge) the
+        # sample is invisible (reference `_thick_workhorse`,
+        # cunningham-transfer-functions.jl:251-300)
+        from gradus_tpu.integrate.tracing import domain_upper_hemisphere
+
+        gp2 = trace_geodesics(
+            m,
+            gp.x_init,
+            gp.v_init,
+            (0.0, lam_max),
+            geometry=verify_disc,
+            gtol=gtol,
+            chart_outer=2.0 * x[1],
+            constrain=False,
+        )
+        dx = gp2.x - gp.x
+        rel = jnp.sqrt(jnp.sum(dx * dx, axis=-1)) / jnp.sqrt(
+            jnp.sum(gp.x * gp.x, axis=-1)
+        )
+        visible = (gp2.status == gp.status) & (rel < 1e-3)
+        ok = ok & visible
+        jac_terminators = (domain_upper_hemisphere(),)
+    else:
+        jac_terminators = ()
+
     def rho_g(ab):
         al, be = ab[..., 0], ab[..., 1]
         v = map_impact_parameters(m, x, al, be)
@@ -236,9 +265,16 @@ def offset_workhorse(
             (0.0, lam_max),
             geometry=jacobian_disc,
             chart_outer=2.0 * x[1],
+            terminate_fns=jac_terminators,
         )
         g_ = redshift_pf(m, gp_, lam_max)
-        return jnp.stack([equatorial_project(gp_.x), g_], axis=-1)
+        rho_ = equatorial_project(gp_.x)
+        if thick:
+            # inside the disc inner edge the redshift is ill-defined: zero it
+            # so the Jacobian diverges and the sample filters out (reference
+            # jacobian_∂αβ_∂gr, precision-solvers.jl:419-434)
+            g_ = jnp.where(rho_ < verify_disc.inner_radius(), 0.0, g_)
+        return jnp.stack([rho_, g_], axis=-1)
 
     ab = jnp.stack([alpha, beta], axis=-1)
     e_a = jnp.zeros_like(ab).at[..., 0].set(1.0)

@@ -22,8 +22,9 @@ def test_offset_solver_flat_and_kerr():
     r_off, gp, resid = gt.find_offset_for_radius(m, x, d, r_targets, thetas)
     assert np.all(np.isfinite(np.asarray(r_off)))
     np.testing.assert_array_less(np.abs(np.asarray(resid)), 1e-6)
-    # offsets are close to (but lensed slightly off) the target radii
-    rho = np.asarray(gp.x[:, 1] * jnp.sin(gp.x[:, 2]))
+    # offsets are close to (but lensed slightly off) the target radii;
+    # |sin| because polar rays legitimately unwrap θ past the pole
+    rho = np.asarray(gp.x[:, 1] * jnp.abs(jnp.sin(gp.x[:, 2])))
     np.testing.assert_allclose(rho, np.asarray(r_targets), rtol=1e-6)
 
 
@@ -60,3 +61,20 @@ def test_lineprofile_shape(kerr_line_profile):
     bins, flux = kerr_line_profile
     peak_g = bins[np.argmax(flux)]
     assert 0.9 < peak_g < 1.25
+
+
+def test_thick_disc_ctf_golden():
+    """Reference `test/transfer-functions/test-thick-disc.jl:8-11`:
+    ShakuraSunyaev, Kerr a=0.998, i=75°, rₑ=3, β₀=2 → Σf = 14.64279.
+    We match to 0.2% (residual is golden-section probe placement;
+    the reference's own atol 1e-4 requires bit-identical Optim probes)."""
+    m = gt.KerrMetric(M=1.0, a=0.998)
+    x = jnp.array([0.0, 10000.0, np.deg2rad(75.0), 0.0])
+    d = gt.ShakuraSunyaev.from_metric(m)
+    _, s = gt.cunningham_transfer_function(
+        m, x, d, jnp.array([3.0]), beta0=2.0, return_samples=True
+    )
+    ok = np.asarray(s["ok"][0])
+    f = np.asarray(s["f"][0])
+    total = f[ok & np.isfinite(f)].sum()
+    np.testing.assert_allclose(total, 14.64279128586961, rtol=5e-3)
