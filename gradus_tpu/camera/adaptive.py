@@ -1,0 +1,150 @@
+"""Adaptive sampling: host-driven refinement around device batches.
+
+Reference: `src/image-planes/{adaptive-grid,adaptive-sky,adaptive-plane}.jl` —
+a 3×3-subdividing quadtree over the (x, y) image plane or the (cos θ, φ) local
+sky, refining where a user predicate sees disparity between neighbouring
+values. The TPU-native shape (SURVEY.md §7.10): the refinement decision loop
+runs on host; each round evaluates one large batched trace on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+__all__ = ["AdaptiveGrid2D", "adaptive_sky", "adaptive_render"]
+
+
+class AdaptiveGrid2D:
+    """3×3-refinement grid over [x0,x1]×[y0,y1] with per-cell values."""
+
+    def __init__(self, x_lims, y_lims, n0: int = 16):
+        xs = np.linspace(x_lims[0], x_lims[1], n0 + 1)
+        ys = np.linspace(y_lims[0], y_lims[1], n0 + 1)
+        cx = 0.5 * (xs[:-1] + xs[1:])
+        cy = 0.5 * (ys[:-1] + ys[1:])
+        X, Y = np.meshgrid(cx, cy, indexing="ij")
+        self.cx = X.ravel()
+        self.cy = Y.ravel()
+        self.w = np.full(self.cx.shape, xs[1] - xs[0])
+        self.h = np.full(self.cy.shape, ys[1] - ys[0])
+        self.values = None
+        self.depth = np.zeros(self.cx.shape, dtype=int)
+
+    def refine(self, mask):
+        """Subdivide masked cells 3×3 (reference `refine!`,
+        adaptive-grid.jl:33-120)."""
+        keep = ~mask
+        cx_k, cy_k = self.cx[keep], self.cy[keep]
+        w_k, h_k = self.w[keep], self.h[keep]
+        v_k = self.values[keep] if self.values is not None else None
+        d_k = self.depth[keep]
+
+        cx_r, cy_r = self.cx[mask], self.cy[mask]
+        w_r, h_r = self.w[mask], self.h[mask]
+        d_r = self.depth[mask]
+        offs = np.array([-1.0 / 3.0, 0.0, 1.0 / 3.0])
+        new_cx, new_cy, new_w, new_h, new_d = [], [], [], [], []
+        for ox in offs:
+            for oy in offs:
+                new_cx.append(cx_r + ox * w_r)
+                new_cy.append(cy_r + oy * h_r)
+                new_w.append(w_r / 3.0)
+                new_h.append(h_r / 3.0)
+                new_d.append(d_r + 1)
+        n_new = mask.sum() * 9
+        self.cx = np.concatenate([cx_k] + new_cx)
+        self.cy = np.concatenate([cy_k] + new_cy)
+        self.w = np.concatenate([w_k] + new_w)
+        self.h = np.concatenate([h_k] + new_h)
+        self.depth = np.concatenate([d_k] + new_d)
+        self._n_old = keep.sum()
+        self._v_old = v_k
+        return n_new
+
+    def set_values(self, new_values):
+        if self._v_old is None:
+            self.values = np.asarray(new_values)
+        else:
+            self.values = np.concatenate([self._v_old, np.asarray(new_values)])
+
+    def neighbour_disparity(self):
+        """Max |Δvalue| to the nearest cells (k-d style brute force on the
+        cell centres — host-side, small arrays)."""
+        v = self.values
+        n = v.shape[0]
+        # coarse binning for neighbour lookup
+        disp = np.zeros(n)
+        # brute-force in chunks (n is typically ≤ 1e5)
+        pts = np.stack([self.cx, self.cy], axis=1)
+        for i in range(n):
+            d2 = np.sum((pts - pts[i]) ** 2, axis=1)
+            r2 = (1.5 * (self.w[i] + self.h[i])) ** 2
+            nbr = (d2 < r2) & (d2 > 0)
+            if nbr.any():
+                dv = np.abs(v[nbr] - v[i])
+                finite = np.isfinite(dv)
+                both_nan = ~np.isfinite(v[nbr]) & ~np.isfinite(v[i])
+                dv = np.where(finite, dv, np.where(both_nan, 0.0, np.inf))
+                disp[i] = dv.max()
+        return disp
+
+
+def _refine_loop(grid: AdaptiveGrid2D, evaluate: Callable, check, rounds, max_depth):
+    grid._v_old = None
+    vals = evaluate(grid.cx, grid.cy)
+    grid.set_values(vals)
+    for _ in range(rounds):
+        disp = grid.neighbour_disparity()
+        mask = check(grid.values, disp) & (grid.depth < max_depth)
+        if not mask.any():
+            break
+        grid.refine(mask)
+        new_cx = grid.cx[grid._n_old :]
+        new_cy = grid.cy[grid._n_old :]
+        vals = evaluate(new_cx, new_cy)
+        grid.set_values(vals)
+    return grid
+
+
+def adaptive_render(
+    m,
+    position,
+    evaluate: Callable,
+    *,
+    alpha_lims=(-10.0, 10.0),
+    beta_lims=(-10.0, 10.0),
+    n0: int = 16,
+    rounds: int = 3,
+    max_depth: int = 4,
+    threshold: float = 0.1,
+):
+    """Adaptively-refined image: `evaluate(αs, βs) -> values` traces a batch;
+    refinement targets cells whose neighbour disparity exceeds `threshold`
+    (or NaN boundaries — the shadow edge)."""
+    grid = AdaptiveGrid2D(alpha_lims, beta_lims, n0=n0)
+
+    def check(values, disp):
+        return (disp > threshold) | ~np.isfinite(disp)
+
+    return _refine_loop(grid, evaluate, check, rounds, max_depth)
+
+
+def adaptive_sky(
+    m,
+    evaluate: Callable,
+    *,
+    n0: int = 12,
+    rounds: int = 3,
+    max_depth: int = 5,
+    threshold: float = 0.1,
+):
+    """Adaptive sampling of the (cos θ, φ) local sky (reference
+    `AdaptiveSky`, adaptive-sky.jl:26-99); `evaluate(cosθs, φs) -> values`."""
+    grid = AdaptiveGrid2D((-1.0, 1.0), (0.0, 2 * np.pi), n0=n0)
+
+    def check(values, disp):
+        return disp > threshold
+
+    return _refine_loop(grid, evaluate, check, rounds, max_depth)

@@ -56,6 +56,8 @@ class IntegrationResult:
     status: Any  # (N,) int32 StatusCodes
     steps: Any  # (N,) int32 accepted step count
     failed: Any  # (N,) bool — dt underflow (should never fire)
+    traj: Any = None  # (N, n_save, S) accepted-step states (save_path mode)
+    traj_lam: Any = None  # (N, n_save) affine parameters of saved states
 
 
 def _error_norm(err_vec, y, y_new, abstol, reltol):
@@ -82,6 +84,7 @@ def integrate_rays(
     bisect_iters: int = 24,
     newton_iters: int = 3,
     terminate_on_hit: bool = True,
+    n_save: int = 0,
 ) -> IntegrationResult:
     """Integrate a batch of rays dy/dλ = f(y) from λ0 to λ1 with events.
 
@@ -145,6 +148,11 @@ def integrate_rays(
         hit_theta=jnp.zeros(N, dtype),
         iters=jnp.int32(0),
     )
+    if n_save > 0:
+        # trajectory buffers: slot 0 holds the initial state
+        traj0 = jnp.zeros(N + (n_save,) + y0.shape[-1:], dtype).at[..., 0, :].set(y0)
+        carry0["traj"] = traj0
+        carry0["traj_lam"] = jnp.zeros(N + (n_save,), dtype).at[..., 0].set(lam0)
 
     thetas = jnp.linspace(0.0, 1.0, n_interp + 1)[1:]  # sample points incl. endpoint
 
@@ -291,6 +299,18 @@ def integrate_rays(
             hit_theta=jnp.where(hit_now, th_c, c["hit_theta"]),
             iters=c["iters"] + 1,
         )
+        if n_save > 0:
+            steps_new = c["steps"] + accept.astype(jnp.int32)
+            idx = jnp.clip(steps_new, 0, n_save - 1)
+            rows = jnp.arange(idx.shape[0])
+            cur = c["traj"][rows, idx]
+            out["traj"] = c["traj"].at[rows, idx].set(
+                jnp.where(accept[..., None], y_new, cur)
+            )
+            cur_l = c["traj_lam"][rows, idx]
+            out["traj_lam"] = c["traj_lam"].at[rows, idx].set(
+                jnp.where(accept, lam_new, cur_l)
+            )
         return out
 
     cf = lax.while_loop(cond, body, carry0)
@@ -327,4 +347,6 @@ def integrate_rays(
         status=status,
         steps=cf["steps"],
         failed=cf["failed"],
+        traj=cf.get("traj"),
+        traj_lam=cf.get("traj_lam"),
     )

@@ -320,6 +320,90 @@ def trace_radiative_transfer(
     return gp
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mu",
+        "q",
+        "gtol",
+        "abstol",
+        "reltol",
+        "max_steps",
+        "constrain",
+        "n_save",
+    ),
+)
+def trace_geodesics_dense(
+    m: AbstractMetric,
+    x,
+    v,
+    lam_span=(0.0, 2000.0),
+    *,
+    mu: float = 0.0,
+    q: float = 0.0,
+    geometry=None,
+    gtol: float = 1e-2,
+    chart_outer: float = 12000.0,
+    abstol=None,
+    reltol=None,
+    max_steps: int = 40000,
+    constrain: bool = True,
+    n_save: int = 512,
+):
+    """Like `trace_geodesics` but additionally records the full trajectory at
+    accepted steps (fixed-size buffers; reference `save_on=true` solutions /
+    `unpack_solution_full`). Returns (GeodesicPoint, traj (N, n_save, 8),
+    traj_lam (N, n_save), n_steps)."""
+    from gradus_tpu.integrate.solver import integrate_rays
+
+    single = jnp.ndim(x) == 1 and jnp.ndim(v) == 1
+    x = jnp.atleast_2d(jnp.asarray(x))
+    v = jnp.atleast_2d(jnp.asarray(v))
+    x, v = jnp.broadcast_arrays(x, v)
+    trace = TraceGeodesic(mu=mu, q=q)
+    if constrain:
+        v = constrain_all(m, x, v, mu=mu)
+
+    a_tol, r_tol = _config.default_tols(x.dtype)
+    abstol = a_tol if abstol is None else abstol
+    reltol = r_tol if reltol is None else reltol
+
+    crossing_fn = hit_fn = None
+    if geometry is not None:
+
+        def crossing_fn(y):
+            return geometry.crossing_indicator(y[..., 0:4])
+
+        def hit_fn(y):
+            return geometry.is_hit(y[..., 0:4], gtol=gtol)
+
+    f = make_geodesic_rhs(m, trace)
+    y0 = jnp.concatenate([x, v], axis=-1)
+    result = integrate_rays(
+        f,
+        y0,
+        lam_span,
+        abstol=abstol,
+        reltol=reltol,
+        r_inner=m.inner_radius() * 1.01,
+        r_outer=chart_outer,
+        crossing_fn=crossing_fn,
+        hit_fn=hit_fn,
+        max_steps=max_steps,
+        n_save=n_save,
+    )
+    gp = unpack_solution(result)
+    traj = result.traj
+    traj_lam = result.traj_lam
+    nsteps = jnp.minimum(result.steps + 1, n_save)
+    if single:
+        gp = gp[0]
+        traj = traj[0]
+        traj_lam = traj_lam[0]
+        nsteps = nsteps[0]
+    return gp, traj, traj_lam, nsteps
+
+
 class _WindingPlane:
     """Plane of constant θ used for winding counts."""
 
