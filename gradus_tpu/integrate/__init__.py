@@ -1,7 +1,12 @@
 from gradus_tpu.integrate.status import StatusCodes
 from gradus_tpu.integrate.points import GeodesicPoint, unpack_solution
-from gradus_tpu.integrate.solver import integrate_rays, IntegrationResult
+from gradus_tpu.integrate.solver import (
+    integrate_rays,
+    IntegrationResult,
+    CompactedIntegrator,
+)
 from gradus_tpu.integrate.tracing import (
+    Tracer,
     TraceGeodesic,
     TraceRadiativeTransfer,
     trace_geodesics,

@@ -19,6 +19,20 @@ alive) state. Events:
 Forward-mode differentiation (`jax.jvp` / `jax.jacfwd`) flows through the whole
 loop — the analogue of the reference pushing ForwardDiff duals through the
 integrator (`src/tracing/precision-solvers.jl:73-131`).
+
+Two execution strategies:
+
+- `integrate_rays` — one global `lax.while_loop`, fully jittable/differentiable
+  (used inside jit/jvp contexts). Every loop iteration advances the WHOLE
+  batch, so the wall-clock is set by the slowest ray (the lockstep tail).
+- `CompactedIntegrator` — the high-throughput path for large batches
+  (rendering, transfer tables): runs the same loop in fixed-size segments and,
+  between segments, compacts the still-alive rays into progressively smaller
+  power-of-4 buckets (argsort + gather), scattering finished rays into the
+  full-size output. Total work drops from N × max(steps) to ≈ N × mean(steps),
+  a ~10-30× win on renders where the step-count distribution is heavy-tailed
+  (the reference gets the same effect for free from dynamic per-thread
+  scheduling in `EnsembleEndpointThreads`, tracing.jl:151-196).
 """
 
 from __future__ import annotations
@@ -33,7 +47,7 @@ from jax import lax
 from gradus_tpu.integrate.status import StatusCodes
 from gradus_tpu.integrate.tsit5 import tsit5_step, hermite_interp, initial_dt
 
-__all__ = ["integrate_rays", "IntegrationResult"]
+__all__ = ["integrate_rays", "IntegrationResult", "CompactedIntegrator"]
 
 # PI step-size controller constants (standard Gustafsson / OrdinaryDiffEq-style)
 _GAMMA = 0.9
@@ -65,6 +79,277 @@ def _error_norm(err_vec, y, y_new, abstol, reltol):
     return jnp.sqrt(jnp.mean((err_vec / sc) ** 2, axis=-1))
 
 
+@dataclasses.dataclass(frozen=True)
+class _Problem:
+    """Static description of one integration problem (everything that shapes
+    the loop body; the per-ray state lives in the carry dict)."""
+
+    f: Callable
+    abstol: float
+    reltol: float
+    r_inner: Any
+    r_outer: Any
+    crossing_fn: Callable | None = None
+    hit_fn: Callable | None = None
+    segment_fn: Callable | None = None
+    terminate_fns: tuple = ()
+    max_steps: int = 40000
+    n_interp: int = 8
+    dt_min: float = 1e-10
+    bisect_iters: int = 10
+    newton_iters: int = 3
+    terminate_on_hit: bool = True
+    n_save: int = 0
+
+
+def _init_carry(p: _Problem, y0, lam_span):
+    y0 = jnp.asarray(y0)
+    N = y0.shape[:-1]
+    dtype = y0.dtype
+    lam0 = jnp.broadcast_to(jnp.asarray(lam_span[0], dtype), N)
+    lam1 = jnp.broadcast_to(jnp.asarray(lam_span[1], dtype), N)
+
+    dt0 = jnp.minimum(initial_dt(p.f, y0, p.abstol, p.reltol), lam1 - lam0)
+    k1_0 = p.f(y0)
+
+    status0 = jnp.full(N, StatusCodes.NoStatus, dtype=jnp.int32)
+    # rays whose initial state/RHS is non-finite (e.g. physically impossible
+    # initial velocities) are dead on arrival — flagged failed, not integrated
+    bad0 = ~(
+        jnp.all(jnp.isfinite(y0), axis=-1)
+        & jnp.isfinite(dt0)
+        & jnp.all(jnp.isfinite(k1_0), axis=-1)
+    )
+    alive0 = ~bad0
+
+    c_prev0 = p.crossing_fn(y0) if p.crossing_fn is not None else jnp.zeros(N, dtype)
+
+    carry0 = dict(
+        y=y0,
+        lam=lam0,
+        lam1=lam1,
+        dt=dt0,
+        k1=k1_0,
+        qold=jnp.full(N, _QOLD_INIT, dtype),
+        status=status0,
+        alive=alive0,
+        steps=jnp.zeros(N, jnp.int32),
+        failed=bad0,
+        c_prev=c_prev0,
+        hit_y=y0,
+        hit_k=k1_0,
+        hit_dt=jnp.zeros(N, dtype),
+        hit_lam=lam0,
+        hit_theta=jnp.zeros(N, dtype),
+        iters=jnp.int32(0),
+    )
+    if p.n_save > 0:
+        # trajectory buffers: slot 0 holds the initial state
+        traj0 = (
+            jnp.zeros(N + (p.n_save,) + y0.shape[-1:], dtype).at[..., 0, :].set(y0)
+        )
+        carry0["traj"] = traj0
+        carry0["traj_lam"] = jnp.zeros(N + (p.n_save,), dtype).at[..., 0].set(lam0)
+    return carry0, lam0
+
+
+def _make_body(p: _Problem, dtype):
+    """The loop body: one adaptive Tsit5 step + event handling for every ray."""
+    f = p.f
+    have_geometry = p.crossing_fn is not None
+    thetas = jnp.linspace(0.0, 1.0, p.n_interp + 1)[1:].astype(dtype)
+
+    def body(c):
+        y, lam, dt = c["y"], c["lam"], c["dt"]
+        lam1 = c["lam1"]
+        alive = c["alive"]
+        dt_eff = jnp.clip(lam1 - lam, p.dt_min, dt)
+        y_new, err_vec, _, k7 = tsit5_step(f, y, dt_eff, c["k1"])
+        err = _error_norm(err_vec, y, y_new, p.abstol, p.reltol)
+        err = jnp.maximum(err, 1e-12)
+        step_ok = jnp.isfinite(err) & jnp.all(jnp.isfinite(y_new), axis=-1)
+        err = jnp.where(step_ok, err, 2.0)  # treat NaN steps as rejected
+        accept = (err <= 1.0) & alive
+
+        # --- PI controller ---------------------------------------------------
+        q = (err**_BETA1) / (c["qold"] ** _BETA2) / _GAMMA
+        fac_acc = 1.0 / jnp.clip(q, 1.0 / _QMAX_FACTOR, 1.0 / _QMIN_FACTOR)
+        fac_rej = 1.0 / jnp.clip((err**0.2) / _GAMMA, 1.0, 1.0 / _QMIN_FACTOR)
+        dt_next = jnp.where(accept, dt_eff * fac_acc, dt_eff * fac_rej)
+        failed = c["failed"] | (
+            alive & ~step_ok & ((dt_next < p.dt_min) | ~jnp.isfinite(dt_next))
+        )
+        qold_new = jnp.where(accept, jnp.maximum(err, _QOLD_INIT), c["qold"])
+
+        lam_new = lam + dt_eff
+
+        # --- geometry event (continuous, interpolant-sampled) ----------------
+        if have_geometry:
+            f0 = c["k1"]
+
+            def interp_at(theta):
+                return hermite_interp(
+                    jnp.broadcast_to(theta, lam.shape), y, y_new, f0, k7, dt_eff
+                )
+
+            cs = jax.vmap(lambda t: p.crossing_fn(interp_at(t)))(thetas)  # (K, N)
+            c_all = jnp.concatenate([c["c_prev"][None], cs], axis=0)
+            sign_change = (
+                jnp.signbit(c_all[:-1]) != jnp.signbit(c_all[1:])
+            ) & accept[None]
+            candidate = jnp.any(sign_change, axis=0)
+            first = jnp.argmax(sign_change, axis=0)
+            theta_grid = jnp.concatenate([jnp.zeros(1, dtype), thetas])
+            th_lo = theta_grid[first]
+            th_hi = theta_grid[first + 1]
+            c_lo = jnp.take_along_axis(c_all, first[None], axis=0)[0]
+
+            # in-loop bisection on the interpolant: the left-end sign is
+            # tracked so each iteration costs ONE crossing evaluation (the
+            # post-loop Newton polish restores full 5th-order accuracy)
+            def bis(_, st):
+                a, b, ca = st
+                mid = 0.5 * (a + b)
+                cm = p.crossing_fn(interp_at(mid))
+                same = jnp.signbit(cm) == jnp.signbit(ca)
+                a_n = jnp.where(same, mid, a)
+                ca_n = jnp.where(same, cm, ca)
+                b_n = jnp.where(same, b, mid)
+                return a_n, b_n, ca_n
+
+            th_a, th_b, _ = lax.fori_loop(
+                0, p.bisect_iters, bis, (th_lo, th_hi, c_lo)
+            )
+            th_c = 0.5 * (th_a + th_b)
+            y_c = interp_at(th_c)
+            N_shape = lam.shape
+            valid = (
+                p.hit_fn(y_c)
+                if p.hit_fn is not None
+                else jnp.ones(N_shape, dtype=bool)
+            )
+            hit_now = candidate & valid
+            c_prev_new = jnp.where(accept, c_all[-1], c["c_prev"])
+        elif p.segment_fn is not None:
+            # segment-based geometry (meshes): test each interpolant chord;
+            # terminate at step end like the reference's DiscreteCallback
+            f0 = c["k1"]
+
+            def pos_at(theta):
+                ys = hermite_interp(
+                    jnp.broadcast_to(theta, lam.shape), y, y_new, f0, k7, dt_eff
+                )
+                return ys[..., 0:4]
+
+            pts = jax.vmap(pos_at)(jnp.concatenate([jnp.zeros(1, dtype), thetas]))
+            seg_hits = jax.vmap(p.segment_fn)(pts[:-1], pts[1:])  # (K, N)
+            hit_now = jnp.any(seg_hits, axis=0) & accept
+            th_c = jnp.ones(lam.shape, dtype)
+            c_prev_new = c["c_prev"]
+        else:
+            hit_now = jnp.zeros_like(alive)
+            th_c = jnp.zeros(lam.shape, dtype)
+            c_prev_new = c["c_prev"]
+
+        # --- chart + user discrete events (step end), masked by no-hit -------
+        r_new = y_new[..., 1]
+        inner = accept & ~hit_now & (r_new <= p.r_inner)
+        outer = accept & ~hit_now & (r_new > p.r_outer)
+        user_masks = []
+        for pred, _code in p.terminate_fns:
+            user_masks.append(
+                accept & ~hit_now & ~inner & ~outer & pred(y_new, lam_new)
+            )
+        finished = accept & (lam_new >= lam1 - 1e-12)
+
+        # --- commit ----------------------------------------------------------
+        sel = accept[..., None]
+        y_out = jnp.where(sel, y_new, y)
+        lam_out = jnp.where(accept, lam_new, lam)
+        k1_out = jnp.where(sel, k7, c["k1"])
+
+        status = c["status"]
+        status = jnp.where(inner, StatusCodes.WithinInnerBoundary, status)
+        status = jnp.where(outer, StatusCodes.OutOfDomain, status)
+        for (pred, code), mask in zip(p.terminate_fns, user_masks):
+            status = jnp.where(mask, code, status)
+
+        if p.terminate_on_hit:
+            status = jnp.where(hit_now, StatusCodes.IntersectedWithGeometry, status)
+            dead = hit_now | inner | outer | finished | failed
+        else:
+            # bump the crossing counter (last state component) and continue
+            y_out = jnp.where(
+                hit_now[..., None],
+                y_out.at[..., -1].add(1.0),
+                y_out,
+            )
+            dead = inner | outer | finished | failed
+        for mask in user_masks:
+            dead = dead | mask
+        alive_out = alive & ~dead
+
+        hsel = hit_now[..., None]
+        out = dict(
+            y=y_out,
+            lam=lam_out,
+            lam1=lam1,
+            dt=dt_next,
+            k1=k1_out,
+            qold=qold_new,
+            status=status,
+            alive=alive_out,
+            steps=c["steps"] + accept.astype(jnp.int32),
+            failed=failed,
+            c_prev=c_prev_new,
+            hit_y=jnp.where(hsel, y, c["hit_y"]),
+            hit_k=jnp.where(hsel, c["k1"], c["hit_k"]),
+            hit_dt=jnp.where(hit_now, dt_eff, c["hit_dt"]),
+            hit_lam=jnp.where(hit_now, lam, c["hit_lam"]),
+            hit_theta=jnp.where(hit_now, th_c, c["hit_theta"]),
+            iters=c["iters"] + 1,
+        )
+        if p.n_save > 0:
+            steps_new = c["steps"] + accept.astype(jnp.int32)
+            idx = jnp.clip(steps_new, 0, p.n_save - 1)
+            rows = jnp.arange(idx.shape[0])
+            cur = c["traj"][rows, idx]
+            out["traj"] = c["traj"].at[rows, idx].set(
+                jnp.where(accept[..., None], y_new, cur)
+            )
+            cur_l = c["traj_lam"][rows, idx]
+            out["traj_lam"] = c["traj_lam"].at[rows, idx].set(
+                jnp.where(accept, lam_new, cur_l)
+            )
+        return out
+
+    return body
+
+
+def _polish_hits(p: _Problem, cf: dict, y_f, lam_f):
+    """Newton polish on the exact trajectory: one 5th-order RK substep from
+    the hit step's start to λ*, then λ* ← λ* − c(y*)/(∇c·f)(y*)."""
+    hit = cf["status"] == StatusCodes.IntersectedWithGeometry
+    y_s, k_s, dt_s = cf["hit_y"], cf["hit_k"], cf["hit_dt"]
+    dt_safe = jnp.where(hit, dt_s, 1.0)
+
+    def newton_body(_, th):
+        dtt = th * dt_safe
+        ystar, _, _, _ = tsit5_step(p.f, y_s, dtt, k_s)
+        cval, cdot = jax.jvp(p.crossing_fn, (ystar,), (p.f(ystar),))
+        cdot = jnp.where(jnp.abs(cdot) < 1e-30, 1.0, cdot)
+        th_new = th - cval / (cdot * dt_safe)
+        return jnp.clip(th_new, 0.0, 1.0)
+
+    theta_star = lax.fori_loop(0, p.newton_iters, newton_body, cf["hit_theta"])
+    dt_star = theta_star * dt_safe
+    y_star, _, _, _ = tsit5_step(p.f, y_s, dt_star, k_s)
+    hsel = hit[..., None]
+    y_f = jnp.where(hsel, y_star, y_f)
+    lam_f = jnp.where(hit, cf["hit_lam"] + dt_star, lam_f)
+    return y_f, lam_f
+
+
 def integrate_rays(
     f: Callable,
     y0,
@@ -81,7 +366,7 @@ def integrate_rays(
     max_steps: int = 40000,
     n_interp: int = 8,
     dt_min: float = 1e-10,
-    bisect_iters: int = 24,
+    bisect_iters: int = 10,
     newton_iters: int = 3,
     terminate_on_hit: bool = True,
     n_save: int = 0,
@@ -109,235 +394,35 @@ def integrate_rays(
         `radiative-transfer-problem.jl:101-117`).
     """
     y0 = jnp.asarray(y0)
-    N = y0.shape[:-1]
-    dtype = y0.dtype
-    lam0 = jnp.broadcast_to(jnp.asarray(lam_span[0], dtype), N)
-    lam1 = jnp.broadcast_to(jnp.asarray(lam_span[1], dtype), N)
-
-    dt0 = jnp.minimum(initial_dt(f, y0, abstol, reltol), lam1 - lam0)
-    k1_0 = f(y0)
-
-    status0 = jnp.full(N, StatusCodes.NoStatus, dtype=jnp.int32)
-    # rays whose initial state/RHS is non-finite (e.g. physically impossible
-    # initial velocities) are dead on arrival — flagged failed, not integrated
-    bad0 = ~(
-        jnp.all(jnp.isfinite(y0), axis=-1)
-        & jnp.isfinite(dt0)
-        & jnp.all(jnp.isfinite(k1_0), axis=-1)
+    p = _Problem(
+        f=f,
+        abstol=abstol,
+        reltol=reltol,
+        r_inner=r_inner,
+        r_outer=r_outer,
+        crossing_fn=crossing_fn,
+        hit_fn=hit_fn,
+        segment_fn=segment_fn,
+        terminate_fns=terminate_fns,
+        max_steps=max_steps,
+        n_interp=n_interp,
+        dt_min=dt_min,
+        bisect_iters=bisect_iters,
+        newton_iters=newton_iters,
+        terminate_on_hit=terminate_on_hit,
+        n_save=n_save,
     )
-    alive0 = ~bad0
-
-    have_geometry = crossing_fn is not None
-    c_prev0 = crossing_fn(y0) if have_geometry else jnp.zeros(N, dtype)
-
-    carry0 = dict(
-        y=y0,
-        lam=lam0,
-        dt=dt0,
-        k1=k1_0,
-        qold=jnp.full(N, _QOLD_INIT, dtype),
-        status=status0,
-        alive=alive0,
-        steps=jnp.zeros(N, jnp.int32),
-        failed=bad0,
-        c_prev=c_prev0,
-        hit_y=y0,
-        hit_k=k1_0,
-        hit_dt=jnp.zeros(N, dtype),
-        hit_lam=lam0,
-        hit_theta=jnp.zeros(N, dtype),
-        iters=jnp.int32(0),
-    )
-    if n_save > 0:
-        # trajectory buffers: slot 0 holds the initial state
-        traj0 = jnp.zeros(N + (n_save,) + y0.shape[-1:], dtype).at[..., 0, :].set(y0)
-        carry0["traj"] = traj0
-        carry0["traj_lam"] = jnp.zeros(N + (n_save,), dtype).at[..., 0].set(lam0)
-
-    thetas = jnp.linspace(0.0, 1.0, n_interp + 1)[1:]  # sample points incl. endpoint
+    carry0, lam0 = _init_carry(p, y0, lam_span)
+    body = _make_body(p, y0.dtype)
 
     def cond(c):
-        return jnp.any(c["alive"]) & (c["iters"] < max_steps)
-
-    def body(c):
-        y, lam, dt = c["y"], c["lam"], c["dt"]
-        alive = c["alive"]
-        dt_eff = jnp.clip(lam1 - lam, dt_min, dt)
-        y_new, err_vec, _, k7 = tsit5_step(f, y, dt_eff, c["k1"])
-        err = _error_norm(err_vec, y, y_new, abstol, reltol)
-        err = jnp.maximum(err, 1e-12)
-        step_ok = jnp.isfinite(err) & jnp.all(jnp.isfinite(y_new), axis=-1)
-        err = jnp.where(step_ok, err, 2.0)  # treat NaN steps as rejected
-        accept = (err <= 1.0) & alive
-
-        # --- PI controller ---------------------------------------------------
-        q = (err**_BETA1) / (c["qold"] ** _BETA2) / _GAMMA
-        fac_acc = 1.0 / jnp.clip(q, 1.0 / _QMAX_FACTOR, 1.0 / _QMIN_FACTOR)
-        fac_rej = 1.0 / jnp.clip((err**0.2) / _GAMMA, 1.0, 1.0 / _QMIN_FACTOR)
-        dt_next = jnp.where(accept, dt_eff * fac_acc, dt_eff * fac_rej)
-        failed = c["failed"] | (
-            alive & ~step_ok & ((dt_next < dt_min) | ~jnp.isfinite(dt_next))
-        )
-        qold_new = jnp.where(accept, jnp.maximum(err, _QOLD_INIT), c["qold"])
-
-        lam_new = lam + dt_eff
-
-        # --- geometry event (continuous, interpolant-sampled) ----------------
-        if have_geometry:
-            f0 = c["k1"]
-
-            def interp_at(theta):
-                return hermite_interp(
-                    jnp.broadcast_to(theta, lam.shape), y, y_new, f0, k7, dt_eff
-                )
-
-            cs = jax.vmap(lambda t: crossing_fn(interp_at(t)))(thetas)  # (K, N)
-            c_all = jnp.concatenate([c["c_prev"][None], cs], axis=0)
-            sign_change = (
-                jnp.signbit(c_all[:-1]) != jnp.signbit(c_all[1:])
-            ) & accept[None]
-            candidate = jnp.any(sign_change, axis=0)
-            first = jnp.argmax(sign_change, axis=0)
-            theta_grid = jnp.concatenate([jnp.zeros(1, dtype), thetas])
-            th_lo = theta_grid[first]
-            th_hi = theta_grid[first + 1]
-
-            # in-loop bisection on the interpolant to locate the crossing
-            def bis(_, ab):
-                a, b = ab
-                mid = 0.5 * (a + b)
-                cm = crossing_fn(interp_at(mid))
-                ca = crossing_fn(interp_at(a))
-                same = jnp.signbit(cm) == jnp.signbit(ca)
-                return jnp.where(same, mid, a), jnp.where(same, b, mid)
-
-            th_a, th_b = lax.fori_loop(0, bisect_iters, bis, (th_lo, th_hi))
-            th_c = 0.5 * (th_a + th_b)
-            y_c = interp_at(th_c)
-            valid = (
-                hit_fn(y_c) if hit_fn is not None else jnp.ones(N, dtype=bool)
-            )
-            hit_now = candidate & valid
-            c_prev_new = jnp.where(accept, c_all[-1], c["c_prev"])
-        elif segment_fn is not None:
-            # segment-based geometry (meshes): test each interpolant chord;
-            # terminate at step end like the reference's DiscreteCallback
-            f0 = c["k1"]
-
-            def pos_at(theta):
-                ys = hermite_interp(
-                    jnp.broadcast_to(theta, lam.shape), y, y_new, f0, k7, dt_eff
-                )
-                return ys[..., 0:4]
-
-            pts = jax.vmap(pos_at)(jnp.concatenate([jnp.zeros(1, dtype), thetas]))
-            seg_hits = jax.vmap(segment_fn)(pts[:-1], pts[1:])  # (K, N)
-            hit_now = jnp.any(seg_hits, axis=0) & accept
-            th_c = jnp.ones(N, dtype)
-            c_prev_new = c["c_prev"]
-        else:
-            hit_now = jnp.zeros_like(alive)
-            th_c = jnp.zeros(N, dtype)
-            c_prev_new = c["c_prev"]
-
-        # --- chart + user discrete events (step end), masked by no-hit -------
-        r_new = y_new[..., 1]
-        inner = accept & ~hit_now & (r_new <= r_inner)
-        outer = accept & ~hit_now & (r_new > r_outer)
-        user_masks = []
-        for pred, _code in terminate_fns:
-            user_masks.append(
-                accept & ~hit_now & ~inner & ~outer & pred(y_new, lam_new)
-            )
-        finished = accept & (lam_new >= lam1 - 1e-12)
-
-        # --- commit ----------------------------------------------------------
-        sel = accept[..., None]
-        y_out = jnp.where(sel, y_new, y)
-        lam_out = jnp.where(accept, lam_new, lam)
-        k1_out = jnp.where(sel, k7, c["k1"])
-
-        status = c["status"]
-        status = jnp.where(inner, StatusCodes.WithinInnerBoundary, status)
-        status = jnp.where(outer, StatusCodes.OutOfDomain, status)
-        for (pred, code), mask in zip(terminate_fns, user_masks):
-            status = jnp.where(mask, code, status)
-
-        if terminate_on_hit:
-            status = jnp.where(
-                hit_now, StatusCodes.IntersectedWithGeometry, status
-            )
-            dead = hit_now | inner | outer | finished | failed
-        else:
-            # bump the crossing counter (last state component) and continue
-            y_out = jnp.where(
-                hit_now[..., None],
-                y_out.at[..., -1].add(1.0),
-                y_out,
-            )
-            dead = inner | outer | finished | failed
-        for mask in user_masks:
-            dead = dead | mask
-        alive_out = alive & ~dead
-
-        hsel = hit_now[..., None]
-        out = dict(
-            y=y_out,
-            lam=lam_out,
-            dt=dt_next,
-            k1=k1_out,
-            qold=qold_new,
-            status=status,
-            alive=alive_out,
-            steps=c["steps"] + accept.astype(jnp.int32),
-            failed=failed,
-            c_prev=c_prev_new,
-            hit_y=jnp.where(hsel, y, c["hit_y"]),
-            hit_k=jnp.where(hsel, c["k1"], c["hit_k"]),
-            hit_dt=jnp.where(hit_now, dt_eff, c["hit_dt"]),
-            hit_lam=jnp.where(hit_now, lam, c["hit_lam"]),
-            hit_theta=jnp.where(hit_now, th_c, c["hit_theta"]),
-            iters=c["iters"] + 1,
-        )
-        if n_save > 0:
-            steps_new = c["steps"] + accept.astype(jnp.int32)
-            idx = jnp.clip(steps_new, 0, n_save - 1)
-            rows = jnp.arange(idx.shape[0])
-            cur = c["traj"][rows, idx]
-            out["traj"] = c["traj"].at[rows, idx].set(
-                jnp.where(accept[..., None], y_new, cur)
-            )
-            cur_l = c["traj_lam"][rows, idx]
-            out["traj_lam"] = c["traj_lam"].at[rows, idx].set(
-                jnp.where(accept, lam_new, cur_l)
-            )
-        return out
+        return jnp.any(c["alive"]) & (c["iters"] < p.max_steps)
 
     cf = lax.while_loop(cond, body, carry0)
 
     y_f, lam_f, status = cf["y"], cf["lam"], cf["status"]
-
-    if have_geometry and terminate_on_hit:
-        # Newton polish on the exact trajectory: one 5th-order RK substep from
-        # the hit step's start to λ*, then λ* ← λ* − c(y*)/(∇c·f)(y*).
-        hit = status == StatusCodes.IntersectedWithGeometry
-        y_s, k_s, dt_s = cf["hit_y"], cf["hit_k"], cf["hit_dt"]
-        dt_safe = jnp.where(hit, dt_s, 1.0)
-
-        def newton_body(_, th):
-            dtt = th * dt_safe
-            ystar, _, _, _ = tsit5_step(f, y_s, dtt, k_s)
-            cval, cdot = jax.jvp(crossing_fn, (ystar,), (f(ystar),))
-            cdot = jnp.where(jnp.abs(cdot) < 1e-30, 1.0, cdot)
-            th_new = th - cval / (cdot * dt_safe)
-            return jnp.clip(th_new, 0.0, 1.0)
-
-        theta_star = lax.fori_loop(0, newton_iters, newton_body, cf["hit_theta"])
-        dt_star = theta_star * dt_safe
-        y_star, _, _, _ = tsit5_step(f, y_s, dt_star, k_s)
-        hsel = hit[..., None]
-        y_f = jnp.where(hsel, y_star, y_f)
-        lam_f = jnp.where(hit, cf["hit_lam"] + dt_star, lam_f)
+    if crossing_fn is not None and terminate_on_hit:
+        y_f, lam_f = _polish_hits(p, cf, y_f, lam_f)
 
     return IntegrationResult(
         y=y_f,
@@ -350,3 +435,159 @@ def integrate_rays(
         traj=cf.get("traj"),
         traj_lam=cf.get("traj_lam"),
     )
+
+
+# --- compacted execution ------------------------------------------------------
+
+# final per-ray fields scattered into the full-size output between compactions
+_OUT_KEYS = (
+    "y",
+    "lam",
+    "status",
+    "steps",
+    "failed",
+    "hit_y",
+    "hit_k",
+    "hit_dt",
+    "hit_lam",
+    "hit_theta",
+)
+
+
+def _next_bucket(n: int, min_bucket: int) -> int:
+    """Smallest power-of-4 multiple of `min_bucket` that is ≥ n."""
+    b = min_bucket
+    while b < n:
+        b *= 4
+    return b
+
+
+class CompactedIntegrator:
+    """Host-driven segmented integration with alive-ray compaction.
+
+    Builds its jitted segment/gather/scatter programs once; reuse the instance
+    across calls (each new working-set size compiles once and is cached by
+    shape). Not differentiable end-to-end (the host loop breaks the trace) —
+    use `integrate_rays` inside jit/jvp contexts.
+    """
+
+    def __init__(
+        self,
+        f: Callable,
+        *,
+        abstol: float,
+        reltol: float,
+        r_inner,
+        r_outer,
+        crossing_fn: Callable | None = None,
+        hit_fn: Callable | None = None,
+        segment_fn: Callable | None = None,
+        terminate_fns: tuple = (),
+        max_steps: int = 40000,
+        n_interp: int = 8,
+        dt_min: float = 1e-10,
+        bisect_iters: int = 10,
+        newton_iters: int = 3,
+        terminate_on_hit: bool = True,
+        segment_iters: int = 96,
+        min_bucket: int = 8192,
+    ):
+        self.p = _Problem(
+            f=f,
+            abstol=abstol,
+            reltol=reltol,
+            r_inner=r_inner,
+            r_outer=r_outer,
+            crossing_fn=crossing_fn,
+            hit_fn=hit_fn,
+            segment_fn=segment_fn,
+            terminate_fns=terminate_fns,
+            max_steps=max_steps,
+            n_interp=n_interp,
+            dt_min=dt_min,
+            bisect_iters=bisect_iters,
+            newton_iters=newton_iters,
+            terminate_on_hit=terminate_on_hit,
+            n_save=0,
+        )
+        self.segment_iters = segment_iters
+        self.min_bucket = min_bucket
+
+        p = self.p
+
+        def _segment(carry, iter_cap):
+            body = _make_body(p, carry["y"].dtype)
+
+            def cond(c):
+                return jnp.any(c["alive"]) & (c["iters"] < iter_cap)
+
+            out = lax.while_loop(cond, body, carry)
+            return out, jnp.sum(out["alive"])
+
+        def _compact(carry, bucket: int):
+            # alive rays first (stable), then gather the leading `bucket`
+            order = jnp.argsort(~carry["alive"], stable=True)
+            idx = order[:bucket]
+            gathered = {
+                k: (v if k == "iters" else v[idx]) for k, v in carry.items()
+            }
+            return gathered, idx
+
+        def _scatter(out, carry, glob_idx):
+            return {
+                k: out[k].at[glob_idx].set(carry[k]) for k in _OUT_KEYS
+            }
+
+        def _finalize(out, y0, lam0):
+            y_f, lam_f, status = out["y"], out["lam"], out["status"]
+            if p.crossing_fn is not None and p.terminate_on_hit:
+                y_f, lam_f = _polish_hits(p, out, y_f, lam_f)
+            return IntegrationResult(
+                y=y_f,
+                lam=lam_f,
+                y0=y0,
+                lam0=lam0,
+                status=status,
+                steps=out["steps"],
+                failed=out["failed"],
+            )
+
+        def _init(y0, lam_span):
+            return _init_carry(p, y0, lam_span)
+
+        self._segment = jax.jit(_segment)
+        self._compact = jax.jit(_compact, static_argnums=1)
+        self._scatter = jax.jit(_scatter)
+        self._finalize = jax.jit(_finalize)
+        self._init = jax.jit(_init)
+
+    def __call__(self, y0, lam_span) -> IntegrationResult:
+        y0 = jnp.asarray(y0)
+        if y0.ndim != 2:
+            raise ValueError("CompactedIntegrator expects a (N, S) batch")
+        N = y0.shape[0]
+        carry, lam0 = self._init(y0, lam_span)
+
+        out = {k: carry[k] for k in _OUT_KEYS}
+        # identity mapping: working-set row -> global ray index
+        glob_idx = jnp.arange(N)
+
+        iters = 0
+        while iters < self.p.max_steps:
+            carry, n_alive = self._segment(
+                carry, jnp.int32(min(iters + self.segment_iters, self.p.max_steps))
+            )
+            iters += self.segment_iters
+            n_alive = int(n_alive)
+            if n_alive == 0:
+                break
+            cur = carry["lam"].shape[0]
+            bucket = _next_bucket(n_alive, self.min_bucket)
+            if bucket < cur:
+                # flush the whole working set, then shrink to the bucket
+                out = self._scatter(out, {k: carry[k] for k in _OUT_KEYS}, glob_idx)
+                carry, idx = self._compact(carry, bucket)
+                glob_idx = glob_idx[idx]
+
+        out = self._scatter(out, {k: carry[k] for k in _OUT_KEYS}, glob_idx)
+        return self._finalize(out, y0, lam0)

@@ -208,6 +208,100 @@ def trace_geodesics(
 tracegeodesics = trace_geodesics
 
 
+class Tracer:
+    """Reusable high-throughput tracer over a fixed (metric, geometry) pair.
+
+    Wraps `CompactedIntegrator` (segmented integration with alive-ray
+    compaction — the TPU analogue of the reference's dynamically-scheduled
+    `EnsembleEndpointThreads` pool, `src/tracing/tracing.jl:151-196`).
+    Construct once, call many times: jitted programs are cached per
+    working-set shape. Host-driven, so NOT usable inside jit/jvp — use
+    `trace_geodesics` there.
+    """
+
+    def __init__(
+        self,
+        m: AbstractMetric,
+        *,
+        mu: float = 0.0,
+        q: float = 0.0,
+        trace=None,
+        geometry=None,
+        gtol: float = 1e-2,
+        chart_inner=None,
+        chart_outer: float = 12000.0,
+        closest_approach: float = 1.01,
+        abstol: float | None = None,
+        reltol: float | None = None,
+        max_steps: int = 40000,
+        terminate_fns: tuple = (),
+        n_interp: int = 8,
+        segment_iters: int = 96,
+        min_bucket: int = 8192,
+        dtype=None,
+    ):
+        from gradus_tpu.integrate.solver import CompactedIntegrator
+
+        if trace is None:
+            trace = TraceGeodesic(mu=mu, q=q)
+        self.m = m
+        self.trace = trace
+        self.geometry = geometry
+
+        a_tol, r_tol = _config.default_tols(dtype)
+        abstol = a_tol if abstol is None else abstol
+        reltol = r_tol if reltol is None else reltol
+        if chart_inner is None:
+            chart_inner = m.inner_radius() * closest_approach
+
+        crossing_fn = hit_fn = segment_fn = None
+        if geometry is not None:
+            if getattr(geometry, "segment_based", False):
+
+                def segment_fn(xa, xb):
+                    return geometry.segment_hit(xa, xb)
+
+            else:
+
+                def crossing_fn(y):
+                    return geometry.crossing_indicator(y[..., 0:4])
+
+                def hit_fn(y):
+                    return geometry.is_hit(y[..., 0:4], gtol=gtol)
+
+        self._integ = CompactedIntegrator(
+            make_geodesic_rhs(m, trace),
+            abstol=abstol,
+            reltol=reltol,
+            r_inner=chart_inner,
+            r_outer=chart_outer,
+            crossing_fn=crossing_fn,
+            hit_fn=hit_fn,
+            segment_fn=segment_fn,
+            terminate_fns=terminate_fns,
+            max_steps=max_steps,
+            n_interp=n_interp,
+            segment_iters=segment_iters,
+            min_bucket=min_bucket,
+        )
+        self._constrain = jax.jit(
+            lambda x, v: jnp.concatenate(
+                [x, constrain_all(self.m, x, v, mu=self.trace.mu)], axis=-1
+            )
+        )
+
+    def __call__(self, x, v, lam_span, constrain: bool = True) -> GeodesicPoint:
+        x = jnp.atleast_2d(jnp.asarray(x))
+        v = jnp.atleast_2d(jnp.asarray(v))
+        x, v = jnp.broadcast_arrays(x, v)
+        if constrain:
+            y0 = self._constrain(x, v)
+        else:
+            y0 = jnp.concatenate([x, v], axis=-1)
+        result = self._integ(y0, lam_span)
+        return unpack_solution(result)
+
+
 def make_radiative_transfer_rhs(m: AbstractMetric, trace, geometry, r_isco):
     """RHS over (..., 10) states u = (x, k, I, n_crossings): covariant
     radiative transfer dI/dλ = ds/dλ·(−a_ν I + j_ν/ν³) integrated only while
