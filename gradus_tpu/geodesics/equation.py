@@ -57,23 +57,66 @@ def geodesic_equation(m: AbstractMetric, x, v):
     velocity ``v`` (both 4-vectors).
 
     Reference: `geodesic_equation` + `compute_geodesic_equation`,
-    auto-diff.jl:115-141, 213-224."""
-    g, dgr, dgth = metric_jacobian(m, x[..., 1], x[..., 2])
-    ginv = sym4x4(sym4x4_inverse_components(g))
-    J1 = sym4x4(dgr)
-    J2 = sym4x4(dgth)
+    auto-diff.jl:115-141, 213-224.
 
-    # A_ρ = ∂_ν g_{ρσ} v^ν v^σ  (only ν ∈ {r, θ} contribute)
-    A = v[..., 1, None] * (J1 @ v[..., None])[..., 0] + v[..., 2, None] * (
-        J2 @ v[..., None]
-    )[..., 0]
-    # B_ρ = ∂_ρ g_{νσ} v^ν v^σ  (nonzero only for ρ ∈ {r, θ})
-    q1 = jnp.einsum("...i,...ij,...j->...", v, J1, v)
-    q2 = jnp.einsum("...i,...ij,...j->...", v, J2, v)
-    B = jnp.stack(
-        [jnp.zeros_like(q1), q1, q2, jnp.zeros_like(q1)], axis=-1
+    The Christoffel contraction is fully scalar-expanded over the 5-component
+    symmetric structure (the reference does the same expansion symbolically at
+    compile time with Symbolics+Tullio). On TPU this matters a lot: the naive
+    (..., 4, 4) einsum form lowers to lane-starved micro-matmuls, while the
+    expanded form is pure (N,)-wide elementwise VPU arithmetic that XLA fuses
+    into the integrator loop body.
+    """
+    g, dgr, dgth = metric_jacobian(m, x[..., 1], x[..., 2])
+
+    vt, vr, vth, vph = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+
+    # inverse of the 5-component symmetric form (auto-diff.jl:59-78)
+    g_tt, g_rr, g_thth, g_phph, g_tph = (
+        g[..., 0],
+        g[..., 1],
+        g[..., 2],
+        g[..., 3],
+        g[..., 4],
     )
-    return -(ginv @ (A - 0.5 * B)[..., None])[..., 0]
+    det = g_tt * g_phph - g_tph * g_tph
+    inv_det = 1.0 / det
+    gi_tt = g_phph * inv_det
+    gi_phph = g_tt * inv_det
+    gi_tph = -g_tph * inv_det
+    gi_rr = 1.0 / g_rr
+    gi_thth = 1.0 / g_thth
+
+    def Av(J):
+        """(J v)_ρ for a 5-component symmetric matrix J."""
+        J_tt, J_rr, J_thth, J_phph, J_tph = (
+            J[..., 0],
+            J[..., 1],
+            J[..., 2],
+            J[..., 3],
+            J[..., 4],
+        )
+        Jv_t = J_tt * vt + J_tph * vph
+        Jv_r = J_rr * vr
+        Jv_th = J_thth * vth
+        Jv_ph = J_tph * vt + J_phph * vph
+        q = vt * Jv_t + vr * Jv_r + vth * Jv_th + vph * Jv_ph
+        return Jv_t, Jv_r, Jv_th, Jv_ph, q
+
+    J1v_t, J1v_r, J1v_th, J1v_ph, q1 = Av(dgr)
+    J2v_t, J2v_r, J2v_th, J2v_ph, q2 = Av(dgth)
+
+    # A_ρ = ∂_ν g_{ρσ} v^ν v^σ (only ν ∈ {r, θ} contribute);
+    # B_ρ = ∂_ρ g_{νσ} v^ν v^σ (nonzero only for ρ ∈ {r, θ})
+    A_t = vr * J1v_t + vth * J2v_t
+    A_r = vr * J1v_r + vth * J2v_r - 0.5 * q1
+    A_th = vr * J1v_th + vth * J2v_th - 0.5 * q2
+    A_ph = vr * J1v_ph + vth * J2v_ph
+
+    a_t = -(gi_tt * A_t + gi_tph * A_ph)
+    a_r = -gi_rr * A_r
+    a_th = -gi_thth * A_th
+    a_ph = -(gi_tph * A_t + gi_phph * A_ph)
+    return jnp.stack([a_t, a_r, a_th, a_ph], axis=-1)
 
 
 def constrain_time(g_comps, v, mu=0.0, positive: bool = True):
