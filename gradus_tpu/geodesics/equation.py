@@ -27,7 +27,9 @@ from gradus_tpu.utils.linalg import sym4x4, sym4x4_inverse_components
 
 __all__ = [
     "metric_jacobian",
+    "metric_jacobian5",
     "geodesic_equation",
+    "geodesic_acceleration",
     "constrain_time",
     "constrain",
     "constrain_all",
@@ -52,6 +54,24 @@ def metric_jacobian(m: AbstractMetric, r, theta):
     return g, dg_dr, dg_dtheta
 
 
+def metric_jacobian5(m: AbstractMetric, r, theta):
+    """Component-tuple form of `metric_jacobian`: three 5-tuples of arrays
+    (values, ∂_r, ∂_θ). Pallas-kernel friendly — no stacked minor axis."""
+    dtype = jnp.result_type(r, theta, float)
+    r = jnp.asarray(r, dtype)
+    theta = jnp.asarray(theta, dtype)
+    r, theta = jnp.broadcast_arrays(r, theta)
+
+    def f(rth):
+        return m.components5(rth[0], rth[1])
+
+    ones = jnp.ones_like(r)
+    zeros = jnp.zeros_like(r)
+    g, dg_dr = jax.jvp(f, ((r, theta),), ((ones, zeros),))
+    _, dg_dtheta = jax.jvp(f, ((r, theta),), ((zeros, ones),))
+    return g, dg_dr, dg_dtheta
+
+
 def geodesic_equation(m: AbstractMetric, x, v):
     """Four-acceleration a^μ = -Γ^μ_{νσ} v^ν v^σ at position ``x`` with
     velocity ``v`` (both 4-vectors).
@@ -66,18 +86,26 @@ def geodesic_equation(m: AbstractMetric, x, v):
     expanded form is pure (N,)-wide elementwise VPU arithmetic that XLA fuses
     into the integrator loop body.
     """
-    g, dgr, dgth = metric_jacobian(m, x[..., 1], x[..., 2])
+    a_t, a_r, a_th, a_ph = geodesic_acceleration(
+        m,
+        x[..., 1],
+        x[..., 2],
+        v[..., 0],
+        v[..., 1],
+        v[..., 2],
+        v[..., 3],
+    )
+    return jnp.stack([a_t, a_r, a_th, a_ph], axis=-1)
 
-    vt, vr, vth, vph = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+
+def geodesic_acceleration(m: AbstractMetric, r, th, vt, vr, vth, vph):
+    """Component-form four-acceleration: 4-tuple of arrays from 6 coordinate /
+    velocity arrays. Shared by the array API above and the Pallas integrator
+    (state-major layout, `gradus_tpu/integrate/pallas_solver.py`)."""
+    g, dgr, dgth = metric_jacobian5(m, r, th)
 
     # inverse of the 5-component symmetric form (auto-diff.jl:59-78)
-    g_tt, g_rr, g_thth, g_phph, g_tph = (
-        g[..., 0],
-        g[..., 1],
-        g[..., 2],
-        g[..., 3],
-        g[..., 4],
-    )
+    g_tt, g_rr, g_thth, g_phph, g_tph = g
     det = g_tt * g_phph - g_tph * g_tph
     inv_det = 1.0 / det
     gi_tt = g_phph * inv_det
@@ -88,13 +116,7 @@ def geodesic_equation(m: AbstractMetric, x, v):
 
     def Av(J):
         """(J v)_ρ for a 5-component symmetric matrix J."""
-        J_tt, J_rr, J_thth, J_phph, J_tph = (
-            J[..., 0],
-            J[..., 1],
-            J[..., 2],
-            J[..., 3],
-            J[..., 4],
-        )
+        J_tt, J_rr, J_thth, J_phph, J_tph = J
         Jv_t = J_tt * vt + J_tph * vph
         Jv_r = J_rr * vr
         Jv_th = J_thth * vth
@@ -116,7 +138,7 @@ def geodesic_equation(m: AbstractMetric, x, v):
     a_r = -gi_rr * A_r
     a_th = -gi_thth * A_th
     a_ph = -(gi_tph * A_t + gi_phph * A_ph)
-    return jnp.stack([a_t, a_r, a_th, a_ph], axis=-1)
+    return a_t, a_r, a_th, a_ph
 
 
 def constrain_time(g_comps, v, mu=0.0, positive: bool = True):

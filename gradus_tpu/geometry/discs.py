@@ -63,6 +63,16 @@ class AbstractAccretionGeometry:
         the annulus). Defaults to true."""
         return jnp.ones(x4.shape[:-1], dtype=bool)
 
+    # --- component-form event interface (Pallas integrator) --------------
+    # Inside a TPU kernel the state is component-major; stacking a (..., 4)
+    # position would relayout onto a 4-wide minor axis. Defaults stack (fine
+    # under XLA / interpret mode); hot geometries override scalar-wise.
+    def crossing_indicator_c(self, t, r, th, ph):
+        return self.crossing_indicator(jnp.stack([t, r, th, ph], axis=-1))
+
+    def is_hit_c(self, t, r, th, ph, gtol=1e-2):
+        return self.is_hit(jnp.stack([t, r, th, ph], axis=-1), gtol=gtol)
+
     # --- radiative transfer coefficients (reference
     # `absorption_coefficient`/`emissivity_coefficient`,
     # radiative-transfer-problem.jl:25-27; default zero) -----------------
@@ -102,6 +112,13 @@ class ThinDisc(AbstractAccretionGeometry):
 
     def is_hit(self, x4, gtol=1e-2):
         rho = equatorial_project(x4)
+        return (rho >= self.inner_r) & (rho <= self.outer_r)
+
+    def crossing_indicator_c(self, t, r, th, ph):
+        return r * jnp.cos(th)
+
+    def is_hit_c(self, t, r, th, ph, gtol=1e-2):
+        rho = r * jnp.abs(jnp.sin(th))
         return (rho >= self.inner_r) & (rho <= self.outer_r)
 
 

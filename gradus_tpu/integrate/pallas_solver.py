@@ -1,0 +1,684 @@
+"""Pallas TPU kernel for the geodesic integrator hot loop.
+
+The XLA `lax.while_loop` path (`solver.integrate_rays`) streams the whole
+~30-array carry through HBM on every adaptive step and advances all rays in
+lockstep. This kernel removes both costs:
+
+- **VMEM residency**: each grid step owns a tile of `R*128` rays; the entire
+  carry (state, FSAL cache, controller state, event bookkeeping) lives in
+  VMEM/registers for the whole integration. HBM traffic is one read of the
+  initial conditions and one write of the results per ray — the
+  speed-of-light minimum.
+- **Per-tile early exit**: the in-kernel `while_loop` ends when *this tile's*
+  rays are done. Since the grid is sequential on a TPU core, total work is
+  Σ_tiles max(steps in tile) — with spatially coherent pixel tiles this is
+  close to Σ_rays steps(ray), the same effect the host-driven
+  `CompactedIntegrator` buys with argsort/gather round trips, minus the
+  round trips.
+
+Layout is state-major: a ray tile is a tuple of S `(R, 128)` blocks, one per
+state component, so every arithmetic op is a full-width VPU op (a ray-major
+``(N, 8)`` layout would waste 120 of 128 lanes). The RHS and the event
+functions are consumed in component form (`geodesic_acceleration`,
+`crossing_indicator_c` — see `gradus_tpu/geodesics/equation.py` and
+`geometry/discs.py`).
+
+Semantics match `solver.integrate_rays` (same Tsit5 tableau, PI controller,
+chart bounds, interpolant-sampled sign-change events with in-loop bisection
+and post-loop Newton polish — reference behavior per
+`src/tracing/configuration.jl`, `charts.jl`, `geometry/bootstrap.jl`).
+Differences: no dense output, no mesh segment events, f32/f64 follows the
+input dtype (on TPU use f32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gradus_tpu.integrate.status import StatusCodes
+from gradus_tpu.integrate.solver import (
+    IntegrationResult,
+    _GAMMA,
+    _BETA1,
+    _BETA2,
+    _QMAX_FACTOR,
+    _QMIN_FACTOR,
+    _QOLD_INIT,
+)
+from gradus_tpu.integrate.tsit5 import TSIT5_C  # noqa: F401  (tableau shared)
+from gradus_tpu.integrate import tsit5 as _tsit5
+
+__all__ = ["pallas_integrate_rays", "PallasTracer"]
+
+_LANES = 128
+
+
+# --- component-form Tsit5 ------------------------------------------------------
+
+
+def _lc(dt, coeffs, ks):
+    """dt * Σ_j coeffs[j]·ks[j], componentwise over tuples of blocks."""
+    S = len(ks[0])
+    return tuple(
+        dt * functools.reduce(lambda a, b: a + b, (c * k[i] for c, k in zip(coeffs, ks)))
+        for i in range(S)
+    )
+
+
+def _add(y, d):
+    return tuple(yi + di for yi, di in zip(y, d))
+
+
+def _tsit5_step_cm(f_cm, y, dt, k1):
+    """One Tsit5 step in component form. Returns (y_new, err_vec, k7)."""
+    A = _tsit5._A
+    BT = _tsit5._BTILDE
+    k2 = f_cm(_add(y, _lc(dt, A[0], (k1,))))
+    k3 = f_cm(_add(y, _lc(dt, A[1], (k1, k2))))
+    k4 = f_cm(_add(y, _lc(dt, A[2], (k1, k2, k3))))
+    k5 = f_cm(_add(y, _lc(dt, A[3], (k1, k2, k3, k4))))
+    k6 = f_cm(_add(y, _lc(dt, A[4], (k1, k2, k3, k4, k5))))
+    y_new = _add(y, _lc(dt, A[5], (k1, k2, k3, k4, k5, k6)))
+    k7 = f_cm(y_new)
+    err = _lc(dt, BT, (k1, k2, k3, k4, k5, k6, k7))
+    return y_new, err, k7
+
+
+def _error_norm_cm(err, y, y_new, abstol, reltol):
+    S = len(y)
+    acc = None
+    for i in range(S):
+        sc = abstol + jnp.maximum(jnp.abs(y[i]), jnp.abs(y_new[i])) * reltol
+        e = err[i] / sc
+        acc = e * e if acc is None else acc + e * e
+    return jnp.sqrt(acc / S)
+
+
+def _initial_dt_cm(f_cm, y, abstol, reltol, order: int = 5):
+    """Hairer-Nørsett-Wanner automatic initial step (II.4), component form."""
+    S = len(y)
+    f0 = f_cm(y)
+    d0sq = d1sq = None
+    for i in range(S):
+        sc = abstol + jnp.abs(y[i]) * reltol
+        a = y[i] / sc
+        b = f0[i] / sc
+        d0sq = a * a if d0sq is None else d0sq + a * a
+        d1sq = b * b if d1sq is None else d1sq + b * b
+    d0 = jnp.sqrt(d0sq / S)
+    d1 = jnp.sqrt(d1sq / S)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / jnp.maximum(d1, 1e-30))
+    y1 = tuple(y[i] + h0 * f0[i] for i in range(S))
+    f1 = f_cm(y1)
+    d2sq = None
+    for i in range(S):
+        sc = abstol + jnp.abs(y[i]) * reltol
+        c = (f1[i] - f0[i]) / sc
+        d2sq = c * c if d2sq is None else d2sq + c * c
+    d2 = jnp.sqrt(d2sq / S) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        dmax <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / dmax) ** (1.0 / order),
+    )
+    return jnp.minimum(100.0 * h0, h1), f0
+
+
+def _hermite_pos(theta, y, y_new, f0, f1, dt):
+    """Cubic-Hermite interpolation of the 4 position components only (events
+    read positions; velocities are not needed to localize a crossing)."""
+    th = theta
+    h00 = (1 + 2 * th) * (1 - th) ** 2
+    h10 = th * (1 - th) ** 2
+    h01 = th * th * (3 - 2 * th)
+    h11 = th * th * (th - 1)
+    return tuple(
+        h00 * y[i] + h10 * dt * f0[i] + h01 * y_new[i] + h11 * dt * f1[i]
+        for i in range(4)
+    )
+
+
+# --- the kernel ----------------------------------------------------------------
+
+
+def _make_kernel(
+    S: int,
+    f_cm: Callable,
+    crossing_cm: Callable | None,
+    hit_cm: Callable | None,
+    *,
+    abstol: float,
+    reltol: float,
+    r_inner: float,
+    r_outer: float,
+    lam0: float,
+    lam1: float,
+    max_steps: int,
+    n_interp: int,
+    dt_min: float,
+    bisect_iters: int,
+    terminate_on_hit: bool,
+    steps_per_check: int = 8,
+):
+    have_geometry = crossing_cm is not None
+    theta_grid = np.linspace(0.0, 1.0, n_interp + 1)  # python floats, unrolled
+
+    def kernel(
+        y0_ref,
+        y_ref,
+        lam_ref,
+        status_ref,
+        steps_ref,
+        failed_ref,
+        hy_ref,
+        hk_ref,
+        hdt_ref,
+        hlam_ref,
+        hth_ref,
+    ):
+        dtype = y0_ref.dtype
+        y = tuple(y0_ref[i] for i in range(S))
+        shape = y[0].shape
+
+        lam = jnp.full(shape, lam0, dtype)
+        dt0, k1 = _initial_dt_cm(f_cm, y, abstol, reltol)
+        dt0 = jnp.minimum(dt0, lam1 - lam)
+
+        finite0 = jnp.isfinite(dt0)
+        for i in range(S):
+            finite0 &= jnp.isfinite(y[i]) & jnp.isfinite(k1[i])
+        # Mosaic cannot carry i1 vectors through the while loop — masks ride
+        # as int32 0/1 and are re-boolified at the top of the body.
+        alive = finite0.astype(jnp.int32)
+        failed = (~finite0).astype(jnp.int32)
+
+        status = jnp.full(shape, StatusCodes.NoStatus, jnp.int32)
+        steps = jnp.zeros(shape, jnp.int32)
+        qold = jnp.full(shape, _QOLD_INIT, dtype)
+        c_prev = (
+            crossing_cm(y[0], y[1], y[2], y[3])
+            if have_geometry
+            else jnp.zeros(shape, dtype)
+        )
+        zero = jnp.zeros(shape, dtype)
+        hit_y = y
+        hit_k = k1
+        hit_dt = zero
+        hit_lam = lam
+        hit_th = zero
+
+        carry0 = (
+            y,
+            k1,
+            lam,
+            dt0,
+            qold,
+            status,
+            alive,
+            steps,
+            failed,
+            c_prev,
+            hit_y,
+            hit_k,
+            hit_dt,
+            hit_lam,
+            hit_th,
+            jnp.int32(0),
+        )
+
+        def cond(c):
+            return jnp.any(c[6] > 0) & (c[15] < max_steps)
+
+        def body(c):
+            (
+                y,
+                k1,
+                lam,
+                dt,
+                qold,
+                status,
+                alive_i,
+                steps,
+                failed_i,
+                c_prev,
+                hit_y,
+                hit_k,
+                hit_dt,
+                hit_lam,
+                hit_th,
+                iters,
+            ) = c
+            alive = alive_i > 0
+            failed = failed_i > 0
+
+            dt_eff = jnp.clip(lam1 - lam, dt_min, dt)
+            y_new, err_vec, k7 = _tsit5_step_cm(f_cm, y, dt_eff, k1)
+            err = _error_norm_cm(err_vec, y, y_new, abstol, reltol)
+            err = jnp.maximum(err, 1e-12)
+            step_ok = jnp.isfinite(err)
+            for i in range(S):
+                step_ok &= jnp.isfinite(y_new[i])
+            err = jnp.where(step_ok, err, 2.0)
+            accept = (err <= 1.0) & alive
+
+            # PI controller (same constants as solver.py)
+            q = (err**_BETA1) / (qold**_BETA2) / _GAMMA
+            fac_acc = 1.0 / jnp.clip(q, 1.0 / _QMAX_FACTOR, 1.0 / _QMIN_FACTOR)
+            fac_rej = 1.0 / jnp.clip((err**0.2) / _GAMMA, 1.0, 1.0 / _QMIN_FACTOR)
+            dt_next = jnp.where(accept, dt_eff * fac_acc, dt_eff * fac_rej)
+            failed = failed | (
+                alive & ~step_ok & ((dt_next < dt_min) | ~jnp.isfinite(dt_next))
+            )
+            qold_new = jnp.where(accept, jnp.maximum(err, _QOLD_INIT), qold)
+            lam_new = lam + dt_eff
+
+            # --- geometry event: sign change on the position interpolant ----
+            if have_geometry:
+
+                def interp_pos(theta):
+                    return _hermite_pos(theta, y, y_new, k1, k7, dt_eff)
+
+                found = jnp.zeros(shape, bool)
+                th_lo = zero
+                th_hi = jnp.ones(shape, dtype)
+                c_lo = c_prev
+                c_left = c_prev
+                for k in range(n_interp):
+                    th_r = jnp.asarray(theta_grid[k + 1], dtype)
+                    c_right = crossing_cm(*interp_pos(th_r))
+                    sc = ((c_left < 0) != (c_right < 0)) & ~found
+                    th_lo = jnp.where(sc, jnp.asarray(theta_grid[k], dtype), th_lo)
+                    th_hi = jnp.where(sc, th_r, th_hi)
+                    c_lo = jnp.where(sc, c_left, c_lo)
+                    found = found | sc
+                    c_left = c_right
+                candidate = found & accept
+
+                def bis(_, st):
+                    a, b, ca = st
+                    mid = 0.5 * (a + b)
+                    cm = crossing_cm(*interp_pos(mid))
+                    same = (cm < 0) == (ca < 0)
+                    return (
+                        jnp.where(same, mid, a),
+                        jnp.where(same, b, mid),
+                        jnp.where(same, cm, ca),
+                    )
+
+                th_a, th_b, _ = lax.fori_loop(
+                    0, bisect_iters, bis, (th_lo, th_hi, c_lo)
+                )
+                th_c = 0.5 * (th_a + th_b)
+                pos_c = interp_pos(th_c)
+                valid = (
+                    hit_cm(*pos_c) if hit_cm is not None else jnp.ones(shape, bool)
+                )
+                hit_now = candidate & valid
+                c_prev_new = jnp.where(accept, c_left, c_prev)
+            else:
+                hit_now = jnp.zeros(shape, bool)
+                th_c = zero
+                c_prev_new = c_prev
+
+            # --- chart bounds (discrete, step end) ---------------------------
+            r_new = y_new[1]
+            inner = accept & ~hit_now & (r_new <= r_inner)
+            outer = accept & ~hit_now & (r_new > r_outer)
+            finished = accept & (lam_new >= lam1 - 1e-12)
+
+            sel = accept
+            y_out = tuple(jnp.where(sel, y_new[i], y[i]) for i in range(S))
+            lam_out = jnp.where(accept, lam_new, lam)
+            k1_out = tuple(jnp.where(sel, k7[i], k1[i]) for i in range(S))
+
+            status = jnp.where(inner, StatusCodes.WithinInnerBoundary, status)
+            status = jnp.where(outer, StatusCodes.OutOfDomain, status)
+            if terminate_on_hit:
+                status = jnp.where(
+                    hit_now, StatusCodes.IntersectedWithGeometry, status
+                )
+                dead = hit_now | inner | outer | finished | failed
+            else:
+                y_out = y_out[:-1] + (
+                    jnp.where(hit_now, y_out[-1] + 1.0, y_out[-1]),
+                )
+                dead = inner | outer | finished | failed
+            alive_out = alive & ~dead
+
+            hit_y = tuple(
+                jnp.where(hit_now, y[i], hit_y[i]) for i in range(S)
+            )
+            hit_k = tuple(
+                jnp.where(hit_now, k1[i], hit_k[i]) for i in range(S)
+            )
+            hit_dt = jnp.where(hit_now, dt_eff, hit_dt)
+            hit_lam = jnp.where(hit_now, lam, hit_lam)
+            hit_th = jnp.where(hit_now, th_c, hit_th)
+
+            return (
+                y_out,
+                k1_out,
+                lam_out,
+                dt_next,
+                qold_new,
+                status,
+                alive_out.astype(jnp.int32),
+                steps + accept.astype(jnp.int32),
+                failed.astype(jnp.int32),
+                c_prev_new,
+                hit_y,
+                hit_k,
+                hit_dt,
+                hit_lam,
+                hit_th,
+                iters + 1,
+            )
+
+        # The `any(alive)` condition is a vector→scalar sync; checking it every
+        # step stalls the VPU pipeline. Run a block of steps per check — dead
+        # rays do masked no-op work for at most steps_per_check-1 iterations.
+        cf = lax.while_loop(
+            cond, lambda c: lax.fori_loop(0, steps_per_check, lambda _, cc: body(cc), c), carry0
+        )
+
+        for i in range(S):
+            y_ref[i] = cf[0][i]
+            hy_ref[i] = cf[10][i]
+            hk_ref[i] = cf[11][i]
+        lam_ref[...] = cf[2]
+        status_ref[...] = cf[5]
+        steps_ref[...] = cf[7]
+        failed_ref[...] = cf[8]
+        hdt_ref[...] = cf[12]
+        hlam_ref[...] = cf[13]
+        hth_ref[...] = cf[14]
+
+    return kernel
+
+
+def pallas_integrate_rays(
+    f_cm: Callable,
+    y0,
+    lam_span: tuple[float, float],
+    *,
+    abstol: float,
+    reltol: float,
+    r_inner: float,
+    r_outer: float,
+    crossing_cm: Callable | None = None,
+    hit_cm: Callable | None = None,
+    max_steps: int = 40000,
+    n_interp: int = 8,
+    dt_min: float = 1e-10,
+    bisect_iters: int = 10,
+    terminate_on_hit: bool = True,
+    tile_rows: int = 8,
+    steps_per_check: int = 8,
+    interpret: bool | None = None,
+):
+    """Integrate a (N, S) ray batch with the tile-resident Pallas kernel.
+
+    ``f_cm``/``crossing_cm``/``hit_cm`` take component tuples (S blocks /
+    4 position blocks). ``lam_span``, chart bounds and tolerances are static
+    python floats (one compile per configuration). Returns the raw per-ray
+    outputs; hit polishing is done by the caller (`PallasTracer`).
+    """
+    y0 = jnp.asarray(y0)
+    N, S = y0.shape
+    dtype = y0.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    R = tile_rows
+    T = R * _LANES
+    n_tiles = max(1, -(-N // T))
+    Npad = n_tiles * T
+
+    lam0, lam1 = float(lam_span[0]), float(lam_span[1])
+
+    kernel = _make_kernel(
+        S,
+        f_cm,
+        crossing_cm,
+        hit_cm,
+        abstol=float(abstol),
+        reltol=float(reltol),
+        r_inner=float(r_inner),
+        r_outer=float(r_outer),
+        lam0=lam0,
+        lam1=lam1,
+        max_steps=max_steps,
+        n_interp=n_interp,
+        dt_min=dt_min,
+        bisect_iters=bisect_iters,
+        terminate_on_hit=terminate_on_hit,
+        steps_per_check=steps_per_check,
+    )
+
+    blk_s = pl.BlockSpec((None, S, R, _LANES), lambda i: (i, 0, 0, 0))
+    blk_1 = pl.BlockSpec((None, R, _LANES), lambda i: (i, 0, 0))
+
+    def shaped(s_axis: bool, dt=dtype):
+        if s_axis:
+            return jax.ShapeDtypeStruct((n_tiles, S, R, _LANES), dt)
+        return jax.ShapeDtypeStruct((n_tiles, R, _LANES), dt)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[blk_s],
+        out_specs=(
+            blk_s,  # y
+            blk_1,  # lam
+            blk_1,  # status
+            blk_1,  # steps
+            blk_1,  # failed
+            blk_s,  # hit_y
+            blk_s,  # hit_k
+            blk_1,  # hit_dt
+            blk_1,  # hit_lam
+            blk_1,  # hit_theta
+        ),
+        out_shape=(
+            shaped(True),
+            shaped(False),
+            shaped(False, jnp.int32),
+            shaped(False, jnp.int32),
+            shaped(False, jnp.int32),
+            shaped(True),
+            shaped(True),
+            shaped(False),
+            shaped(False),
+            shaped(False),
+        ),
+        interpret=interpret,
+    )
+
+    # (N, S) -> (n_tiles, S, R, 128); pad rays with NaN (flagged failed/dead
+    # in the kernel's finiteness screen, so they never cost loop iterations)
+    ypad = jnp.full((Npad, S), jnp.nan, dtype).at[:N].set(y0)
+    ytiles = jnp.transpose(ypad.reshape(n_tiles, R, _LANES, S), (0, 3, 1, 2))
+
+    outs = call(ytiles)
+
+    def untile(a):
+        if a.ndim == 4:  # (n_tiles, S, R, 128) -> (N, S)
+            return jnp.transpose(a, (0, 2, 3, 1)).reshape(Npad, S)[:N]
+        return a.reshape(Npad)[:N]
+
+    (y_f, lam_f, status, steps, failed, hy, hk, hdt, hlam, hth) = map(untile, outs)
+    return dict(
+        y=y_f,
+        lam=lam_f,
+        status=status,
+        steps=steps,
+        failed=failed.astype(bool),
+        hit_y=hy,
+        hit_k=hk,
+        hit_dt=hdt,
+        hit_lam=hlam,
+        hit_theta=hth,
+    )
+
+
+class PallasTracer:
+    """High-throughput tracer over a fixed (metric, geometry) pair, running the
+    tile-resident Pallas integrator. Drop-in alternative to `tracing.Tracer`
+    for rendering/table workloads (host-driven; not differentiable end-to-end
+    — use `trace_geodesics` inside jit/jvp contexts).
+
+    Metric parameters are baked into the kernel as compile-time constants
+    (`float(leaf)`), matching the reference's one-solve-per-configuration
+    usage (`EnsembleEndpointThreads` reuse, src/tracing/tracing.jl:151-196).
+    """
+
+    def __init__(
+        self,
+        m,
+        *,
+        mu: float = 0.0,
+        geometry=None,
+        gtol: float = 1e-2,
+        chart_inner: float | None = None,
+        chart_outer: float = 12000.0,
+        closest_approach: float = 1.01,
+        abstol: float | None = None,
+        reltol: float | None = None,
+        max_steps: int = 40000,
+        n_interp: int = 8,
+        bisect_iters: int = 10,
+        newton_iters: int = 3,
+        tile_rows: int = 8,
+        steps_per_check: int = 8,
+        dtype=None,
+        interpret: bool | None = None,
+    ):
+        from gradus_tpu import config as _config
+        from gradus_tpu.geodesics.equation import (
+            geodesic_acceleration,
+            constrain_all,
+        )
+        from gradus_tpu.integrate.solver import _Problem, _polish_hits
+        from gradus_tpu.integrate.points import unpack_solution
+        from gradus_tpu.integrate.tracing import make_geodesic_rhs, TraceGeodesic
+
+        def _concretize(tree):
+            """Pallas kernels cannot capture traced/device constants — bake
+            parameters to python floats (one compile per configuration)."""
+
+            def leaf(v):
+                try:
+                    return float(v)
+                except (TypeError, ValueError):
+                    return v
+
+            return jax.tree_util.tree_map(leaf, tree)
+
+        m = _concretize(m)
+        geometry = _concretize(geometry)
+        self.m = m
+        self.geometry = geometry
+        self.mu = mu
+        a_tol, r_tol = _config.default_tols(dtype)
+        self.abstol = a_tol if abstol is None else abstol
+        self.reltol = r_tol if reltol is None else reltol
+        if chart_inner is None:
+            chart_inner = float(m.inner_radius()) * closest_approach
+        self.r_inner = float(chart_inner)
+        self.r_outer = float(chart_outer)
+        self.max_steps = max_steps
+        self.n_interp = n_interp
+        self.bisect_iters = bisect_iters
+        self.tile_rows = tile_rows
+        self.steps_per_check = steps_per_check
+        self.interpret = interpret
+
+        def f_cm(ys):
+            t, r, th, ph, vt, vr, vth, vph = ys
+            acc = geodesic_acceleration(m, r, th, vt, vr, vth, vph)
+            return (vt, vr, vth, vph) + acc
+
+        self._f_cm = f_cm
+        self._crossing_cm = None
+        self._hit_cm = None
+        if geometry is not None:
+            self._crossing_cm = geometry.crossing_indicator_c
+            self._hit_cm = functools.partial(geometry.is_hit_c, gtol=gtol)
+
+        # array-form problem for the post-loop Newton polish (shared with the
+        # XLA solver so hit states are identically 5th-order accurate)
+        f_arr = make_geodesic_rhs(m, TraceGeodesic(mu=mu))
+        crossing_arr = (
+            None
+            if geometry is None
+            else (lambda y: geometry.crossing_indicator(y[..., 0:4]))
+        )
+        self._polish_problem = _Problem(
+            f=f_arr,
+            abstol=self.abstol,
+            reltol=self.reltol,
+            r_inner=self.r_inner,
+            r_outer=self.r_outer,
+            crossing_fn=crossing_arr,
+            newton_iters=newton_iters,
+        )
+
+        self._constrain = jax.jit(
+            lambda x, v: jnp.concatenate(
+                [x, constrain_all(m, x, v, mu=mu)], axis=-1
+            )
+        )
+
+        @jax.jit
+        def _finish(out, y0, lam0):
+            y_f, lam_f = out["y"], out["lam"]
+            if crossing_arr is not None:
+                y_f, lam_f = _polish_hits(self._polish_problem, out, y_f, lam_f)
+            res = IntegrationResult(
+                y=y_f,
+                lam=lam_f,
+                y0=y0,
+                lam0=jnp.broadcast_to(jnp.asarray(lam0, y0.dtype), y0.shape[:-1]),
+                status=out["status"],
+                steps=out["steps"],
+                failed=out["failed"],
+            )
+            return unpack_solution(res)
+
+        self._finish = _finish
+
+    def __call__(self, x, v, lam_span, constrain: bool = True):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        v = jnp.atleast_2d(jnp.asarray(v))
+        x, v = jnp.broadcast_arrays(x, v)
+        if constrain:
+            y0 = self._constrain(x, v)
+        else:
+            y0 = jnp.concatenate([x, v], axis=-1)
+        out = pallas_integrate_rays(
+            self._f_cm,
+            y0,
+            (float(lam_span[0]), float(lam_span[1])),
+            abstol=self.abstol,
+            reltol=self.reltol,
+            r_inner=self.r_inner,
+            r_outer=self.r_outer,
+            crossing_cm=self._crossing_cm,
+            hit_cm=self._hit_cm,
+            max_steps=self.max_steps,
+            n_interp=self.n_interp,
+            bisect_iters=self.bisect_iters,
+            tile_rows=self.tile_rows,
+            steps_per_check=self.steps_per_check,
+            interpret=self.interpret,
+        )
+        return self._finish(out, y0, float(lam_span[0]))

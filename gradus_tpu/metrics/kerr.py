@@ -19,7 +19,7 @@ class KerrMetric(AbstractMetric):
     M: float = 1.0
     a: float = 0.0
 
-    def components(self, r, theta):
+    def components5(self, r, theta):
         M, a = self.M, self.a
         R = 2.0 * M
         sin2 = jnp.sin(theta) ** 2
@@ -34,7 +34,13 @@ class KerrMetric(AbstractMetric):
         hh = sigma
         pp = sin2 * (r * r + a * a + (gamma * a) * inv_sigma)
         tp = -gamma * inv_sigma
-        return jnp.stack([tt, rr, hh, pp, tp], axis=-1)
+        return (tt, rr, hh, pp, tp)
+
+    def components(self, r, theta):
+        r, theta = jnp.broadcast_arrays(
+            jnp.asarray(r, jnp.result_type(r, theta, float)), theta
+        )
+        return jnp.stack(self.components5(r, theta), axis=-1)
 
     def inner_radius(self):
         return self.M + jnp.sqrt(self.M**2 - self.a**2)
