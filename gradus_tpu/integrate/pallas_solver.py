@@ -168,9 +168,14 @@ def _make_kernel(
     bisect_iters: int,
     terminate_on_hit: bool,
     steps_per_check: int = 8,
+    event_method: str = "cubic",
 ):
     have_geometry = crossing_cm is not None
+    use_cubic = have_geometry and event_method == "cubic"
     theta_grid = np.linspace(0.0, 1.0, n_interp + 1)  # python floats, unrolled
+
+    def crossing_jvp(pos4, vel4):
+        return jax.jvp(lambda p: crossing_cm(*p), (pos4,), (vel4,))
 
     def kernel(
         y0_ref,
@@ -204,12 +209,15 @@ def _make_kernel(
         status = jnp.full(shape, StatusCodes.NoStatus, jnp.int32)
         steps = jnp.zeros(shape, jnp.int32)
         qold = jnp.full(shape, _QOLD_INIT, dtype)
-        c_prev = (
-            crossing_cm(y[0], y[1], y[2], y[3])
-            if have_geometry
-            else jnp.zeros(shape, dtype)
-        )
         zero = jnp.zeros(shape, dtype)
+        if use_cubic:
+            c_prev, dc_prev = crossing_jvp(y[0:4], k1[0:4])
+        elif have_geometry:
+            c_prev = crossing_cm(y[0], y[1], y[2], y[3])
+            dc_prev = zero
+        else:
+            c_prev = zero
+            dc_prev = zero
         hit_y = y
         hit_k = k1
         hit_dt = zero
@@ -227,6 +235,7 @@ def _make_kernel(
             steps,
             failed,
             c_prev,
+            dc_prev,
             hit_y,
             hit_k,
             hit_dt,
@@ -236,7 +245,7 @@ def _make_kernel(
         )
 
         def cond(c):
-            return jnp.any(c[6] > 0) & (c[15] < max_steps)
+            return jnp.any(c[6] > 0) & (c[16] < max_steps)
 
         def body(c):
             (
@@ -250,6 +259,7 @@ def _make_kernel(
                 steps,
                 failed_i,
                 c_prev,
+                dc_prev,
                 hit_y,
                 hit_k,
                 hit_dt,
@@ -282,7 +292,23 @@ def _make_kernel(
             lam_new = lam + dt_eff
 
             # --- geometry event: sign change on the position interpolant ----
-            if have_geometry:
+            dc_prev_new = dc_prev
+            if use_cubic:
+                from gradus_tpu.integrate.events import cubic_first_crossing
+
+                c1v, dc1v = crossing_jvp(y_new[0:4], k7[0:4])
+                found, th_c = cubic_first_crossing(
+                    c_prev, dt_eff * dc_prev, c1v, dt_eff * dc1v
+                )
+                candidate = found & accept
+                pos_c = _hermite_pos(th_c, y, y_new, k1, k7, dt_eff)
+                valid = (
+                    hit_cm(*pos_c) if hit_cm is not None else jnp.ones(shape, bool)
+                )
+                hit_now = candidate & valid
+                c_prev_new = jnp.where(accept, c1v, c_prev)
+                dc_prev_new = jnp.where(accept, dc1v, dc_prev)
+            elif have_geometry:
 
                 def interp_pos(theta):
                     return _hermite_pos(theta, y, y_new, k1, k7, dt_eff)
@@ -375,6 +401,7 @@ def _make_kernel(
                 steps + accept.astype(jnp.int32),
                 failed.astype(jnp.int32),
                 c_prev_new,
+                dc_prev_new,
                 hit_y,
                 hit_k,
                 hit_dt,
@@ -392,15 +419,15 @@ def _make_kernel(
 
         for i in range(S):
             y_ref[i] = cf[0][i]
-            hy_ref[i] = cf[10][i]
-            hk_ref[i] = cf[11][i]
+            hy_ref[i] = cf[11][i]
+            hk_ref[i] = cf[12][i]
         lam_ref[...] = cf[2]
         status_ref[...] = cf[5]
         steps_ref[...] = cf[7]
         failed_ref[...] = cf[8]
-        hdt_ref[...] = cf[12]
-        hlam_ref[...] = cf[13]
-        hth_ref[...] = cf[14]
+        hdt_ref[...] = cf[13]
+        hlam_ref[...] = cf[14]
+        hth_ref[...] = cf[15]
 
     return kernel
 
@@ -423,6 +450,7 @@ def pallas_integrate_rays(
     terminate_on_hit: bool = True,
     tile_rows: int = 8,
     steps_per_check: int = 8,
+    event_method: str = "cubic",
     interpret: bool | None = None,
 ):
     """Integrate a (N, S) ray batch with the tile-resident Pallas kernel.
@@ -462,6 +490,7 @@ def pallas_integrate_rays(
         bisect_iters=bisect_iters,
         terminate_on_hit=terminate_on_hit,
         steps_per_check=steps_per_check,
+        event_method=event_method,
     )
 
     blk_s = pl.BlockSpec((None, S, R, _LANES), lambda i: (i, 0, 0, 0))
@@ -559,6 +588,7 @@ class PallasTracer:
         newton_iters: int = 3,
         tile_rows: int = 8,
         steps_per_check: int = 8,
+        event_method: str = "cubic",
         dtype=None,
         interpret: bool | None = None,
     ):
@@ -600,6 +630,7 @@ class PallasTracer:
         self.bisect_iters = bisect_iters
         self.tile_rows = tile_rows
         self.steps_per_check = steps_per_check
+        self.event_method = event_method
         self.interpret = interpret
 
         def f_cm(ys):
@@ -679,6 +710,7 @@ class PallasTracer:
             bisect_iters=self.bisect_iters,
             tile_rows=self.tile_rows,
             steps_per_check=self.steps_per_check,
+            event_method=self.event_method,
             interpret=self.interpret,
         )
         return self._finish(out, y0, float(lam_span[0]))

@@ -100,6 +100,10 @@ class _Problem:
     newton_iters: int = 3
     terminate_on_hit: bool = True
     n_save: int = 0
+    # "cubic": analytic first-crossing of the Hermite cubic of the signed
+    # indicator (events.py; ~10x cheaper per step). "sampled": reference-style
+    # interpolant sampling at n_interp points + in-loop bisection.
+    event_method: str = "cubic"
 
 
 def _init_carry(p: _Problem, y0, lam_span):
@@ -122,7 +126,16 @@ def _init_carry(p: _Problem, y0, lam_span):
     )
     alive0 = ~bad0
 
-    c_prev0 = p.crossing_fn(y0) if p.crossing_fn is not None else jnp.zeros(N, dtype)
+    use_cubic = p.crossing_fn is not None and p.event_method == "cubic"
+    if p.crossing_fn is not None:
+        if use_cubic:
+            c_prev0, dc_prev0 = jax.jvp(p.crossing_fn, (y0,), (k1_0,))
+        else:
+            c_prev0 = p.crossing_fn(y0)
+            dc_prev0 = jnp.zeros(N, dtype)
+    else:
+        c_prev0 = jnp.zeros(N, dtype)
+        dc_prev0 = jnp.zeros(N, dtype)
 
     carry0 = dict(
         y=y0,
@@ -136,6 +149,7 @@ def _init_carry(p: _Problem, y0, lam_span):
         steps=jnp.zeros(N, jnp.int32),
         failed=bad0,
         c_prev=c_prev0,
+        dc_prev=dc_prev0,
         hit_y=y0,
         hit_k=k1_0,
         hit_dt=jnp.zeros(N, dtype),
@@ -183,8 +197,30 @@ def _make_body(p: _Problem, dtype):
 
         lam_new = lam + dt_eff
 
-        # --- geometry event (continuous, interpolant-sampled) ----------------
-        if have_geometry:
+        # --- geometry event (continuous) --------------------------------------
+        dc_prev_new = c["dc_prev"]
+        if have_geometry and p.event_method == "cubic":
+            from gradus_tpu.integrate.events import cubic_first_crossing
+
+            f0 = c["k1"]
+            c1v, dc1v = jax.jvp(p.crossing_fn, (y_new,), (k7,))
+            found, th_c = cubic_first_crossing(
+                c["c_prev"],
+                dt_eff * c["dc_prev"],
+                c1v,
+                dt_eff * dc1v,
+            )
+            candidate = found & accept
+            y_c = hermite_interp(th_c, y, y_new, f0, k7, dt_eff)
+            valid = (
+                p.hit_fn(y_c)
+                if p.hit_fn is not None
+                else jnp.ones(lam.shape, dtype=bool)
+            )
+            hit_now = candidate & valid
+            c_prev_new = jnp.where(accept, c1v, c["c_prev"])
+            dc_prev_new = jnp.where(accept, dc1v, c["dc_prev"])
+        elif have_geometry:
             f0 = c["k1"]
 
             def interp_at(theta):
@@ -302,6 +338,7 @@ def _make_body(p: _Problem, dtype):
             steps=c["steps"] + accept.astype(jnp.int32),
             failed=failed,
             c_prev=c_prev_new,
+            dc_prev=dc_prev_new,
             hit_y=jnp.where(hsel, y, c["hit_y"]),
             hit_k=jnp.where(hsel, c["k1"], c["hit_k"]),
             hit_dt=jnp.where(hit_now, dt_eff, c["hit_dt"]),
@@ -370,6 +407,7 @@ def integrate_rays(
     newton_iters: int = 3,
     terminate_on_hit: bool = True,
     n_save: int = 0,
+    event_method: str = "cubic",
 ) -> IntegrationResult:
     """Integrate a batch of rays dy/dλ = f(y) from λ0 to λ1 with events.
 
@@ -411,6 +449,7 @@ def integrate_rays(
         newton_iters=newton_iters,
         terminate_on_hit=terminate_on_hit,
         n_save=n_save,
+        event_method=event_method,
     )
     carry0, lam0 = _init_carry(p, y0, lam_span)
     body = _make_body(p, y0.dtype)
@@ -491,6 +530,7 @@ class CompactedIntegrator:
         terminate_on_hit: bool = True,
         segment_iters: int = 96,
         min_bucket: int = 8192,
+        event_method: str = "cubic",
     ):
         self.p = _Problem(
             f=f,
@@ -509,6 +549,7 @@ class CompactedIntegrator:
             newton_iters=newton_iters,
             terminate_on_hit=terminate_on_hit,
             n_save=0,
+            event_method=event_method,
         )
         self.segment_iters = segment_iters
         self.min_bucket = min_bucket
