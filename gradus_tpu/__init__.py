@@ -62,6 +62,8 @@ from gradus_tpu.integrate import (
     Tracer,
     TraceGeodesic,
     TraceRadiativeTransfer,
+    trace_radiative_transfer,
+    trace_windings,
     domain_upper_hemisphere,
 )
 from gradus_tpu.geometry import (

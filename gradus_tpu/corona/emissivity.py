@@ -32,6 +32,7 @@ __all__ = [
     "emissivity_profile",
     "tracecorona",
     "point_source_emissivity_profile",
+    "bin_corona_hits",
 ]
 
 
@@ -181,6 +182,28 @@ def tracecorona_profile(
         constrain=False,
     )
     hit = gps.status == StatusCodes.IntersectedWithGeometry
+    return bin_corona_hits(m, spectrum, gps, v_src, hit, n_bins=n_bins)
+
+
+def bin_corona_hits(
+    m: AbstractMetric,
+    spectrum,
+    gps,
+    v_src,
+    hit,
+    *,
+    n_bins: int,
+    axis_name: str | None = None,
+) -> RadialDiscProfile:
+    """Radial photon-count binning of corona-trace hits into a
+    `RadialDiscProfile` (reference `_build_radial_profile`, radial.jl:39-93).
+
+    With `axis_name` (inside `shard_map` over a sharded sample axis) the bin
+    range is `pmin`/`pmax`-agreed and the (count, g, t) bin sums are
+    `psum`-reduced over the mesh, so every device returns the identical global
+    profile."""
+    from jax import lax
+
     r = equatorial_project(gps.x)
     t = gps.x[..., 0]
 
@@ -188,9 +211,12 @@ def tracecorona_profile(
     v_disc_pt = disc_velocity(gps.x)
     g_pt = energy_ratio(m, gps, v_src, v_disc_pt)
 
-    # geometric radial bins over the hit range
+    # geometric radial bins over the (global) hit range
     r_lo = jnp.min(jnp.where(hit, r, jnp.inf))
     r_hi = jnp.max(jnp.where(hit, r, -jnp.inf))
+    if axis_name is not None:
+        r_lo = lax.pmin(r_lo, axis_name)
+        r_hi = lax.pmax(r_hi, axis_name)
     K = (r_hi / r_lo) ** (1.0 / (n_bins - 1))
     bins = r_lo * K ** jnp.arange(n_bins)
 
@@ -199,6 +225,10 @@ def tracecorona_profile(
     counts = jnp.zeros(n_bins, r.dtype).at[bi].add(w)
     g_sum = jnp.zeros(n_bins, r.dtype).at[bi].add(jnp.where(hit, g_pt, 0.0))
     t_sum = jnp.zeros(n_bins, r.dtype).at[bi].add(jnp.where(hit, t, 0.0))
+    if axis_name is not None:
+        counts = lax.psum(counts, axis_name)
+        g_sum = lax.psum(g_sum, axis_name)
+        t_sum = lax.psum(t_sum, axis_name)
     cnt_safe = jnp.maximum(counts, 1.0)
     g_mean = g_sum / cnt_safe
     t_mean = t_sum / cnt_safe

@@ -106,17 +106,32 @@ class _Problem:
     event_method: str = "cubic"
 
 
+def _vma_like(x, ref):
+    """Give x the varying-manual-axes (shard_map VMA) of ref.
+
+    Inside `shard_map` the loop body makes every per-ray carry leaf
+    device-varying; leaves initialized from replicated scalars (λ-span, status
+    fills) must be pcast to match or the while_loop carry typecheck fails.
+    No-op outside shard_map."""
+    vma = getattr(jax.typeof(ref), "vma", frozenset()) - getattr(
+        jax.typeof(x), "vma", frozenset()
+    )
+    if vma:
+        return jax.lax.pcast(x, tuple(vma), to="varying")
+    return x
+
+
 def _init_carry(p: _Problem, y0, lam_span):
     y0 = jnp.asarray(y0)
     N = y0.shape[:-1]
     dtype = y0.dtype
-    lam0 = jnp.broadcast_to(jnp.asarray(lam_span[0], dtype), N)
-    lam1 = jnp.broadcast_to(jnp.asarray(lam_span[1], dtype), N)
+    lam0 = _vma_like(jnp.broadcast_to(jnp.asarray(lam_span[0], dtype), N), y0)
+    lam1 = _vma_like(jnp.broadcast_to(jnp.asarray(lam_span[1], dtype), N), y0)
 
     dt0 = jnp.minimum(initial_dt(p.f, y0, p.abstol, p.reltol), lam1 - lam0)
     k1_0 = p.f(y0)
 
-    status0 = jnp.full(N, StatusCodes.NoStatus, dtype=jnp.int32)
+    status0 = _vma_like(jnp.full(N, StatusCodes.NoStatus, dtype=jnp.int32), y0)
     # rays whose initial state/RHS is non-finite (e.g. physically impossible
     # initial velocities) are dead on arrival — flagged failed, not integrated
     bad0 = ~(
@@ -132,10 +147,10 @@ def _init_carry(p: _Problem, y0, lam_span):
             c_prev0, dc_prev0 = jax.jvp(p.crossing_fn, (y0,), (k1_0,))
         else:
             c_prev0 = p.crossing_fn(y0)
-            dc_prev0 = jnp.zeros(N, dtype)
+            dc_prev0 = _vma_like(jnp.zeros(N, dtype), y0)
     else:
-        c_prev0 = jnp.zeros(N, dtype)
-        dc_prev0 = jnp.zeros(N, dtype)
+        c_prev0 = _vma_like(jnp.zeros(N, dtype), y0)
+        dc_prev0 = _vma_like(jnp.zeros(N, dtype), y0)
 
     carry0 = dict(
         y=y0,
@@ -143,18 +158,18 @@ def _init_carry(p: _Problem, y0, lam_span):
         lam1=lam1,
         dt=dt0,
         k1=k1_0,
-        qold=jnp.full(N, _QOLD_INIT, dtype),
+        qold=_vma_like(jnp.full(N, _QOLD_INIT, dtype), y0),
         status=status0,
         alive=alive0,
-        steps=jnp.zeros(N, jnp.int32),
+        steps=_vma_like(jnp.zeros(N, jnp.int32), y0),
         failed=bad0,
         c_prev=c_prev0,
         dc_prev=dc_prev0,
         hit_y=y0,
         hit_k=k1_0,
-        hit_dt=jnp.zeros(N, dtype),
+        hit_dt=_vma_like(jnp.zeros(N, dtype), y0),
         hit_lam=lam0,
-        hit_theta=jnp.zeros(N, dtype),
+        hit_theta=_vma_like(jnp.zeros(N, dtype), y0),
         iters=jnp.int32(0),
     )
     if p.n_save > 0:

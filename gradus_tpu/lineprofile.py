@@ -22,7 +22,7 @@ from gradus_tpu.metrics.base import AbstractMetric
 from gradus_tpu.transfer import transferfunctions, integrate_lineprofile
 from gradus_tpu.utils.linalg import equatorial_project
 
-__all__ = ["lineprofile", "TransferFunctionMethod", "BinningMethod"]
+__all__ = ["lineprofile", "TransferFunctionMethod", "BinningMethod", "binned_flux"]
 
 
 class TransferFunctionMethod:
@@ -104,6 +104,39 @@ def lineprofile(
         terminate_fns=(domain_upper_hemisphere(),),
         **kwargs,
     )
+    flux = binned_flux(
+        m,
+        gps,
+        areas,
+        emissivity,
+        bins,
+        min_re=min_re,
+        max_re=max_re,
+        lam_max=lam_max,
+        redshift_pf=redshift_pf,
+    )
+    return bins, flux
+
+
+def binned_flux(
+    m,
+    gps,
+    areas,
+    emissivity,
+    bins,
+    *,
+    min_re,
+    max_re,
+    lam_max,
+    redshift_pf,
+    axis_name: str | None = None,
+):
+    """g-binned flux histogram f = ε(r)·g³·area over disc hits (reference
+    line-profiles.jl:157-198). With `axis_name` (inside `shard_map` over a
+    sharded ray axis) the histogram is `psum`-reduced over the mesh before
+    normalization, so every device returns the identical global profile."""
+    import jax
+
     r_em = equatorial_project(gps.x)
     hit = (
         (gps.status == StatusCodes.IntersectedWithGeometry)
@@ -117,6 +150,7 @@ def lineprofile(
     valid = hit & (idx >= 0) & (idx < bins.shape[0] - 1)
     idx = jnp.clip(idx, 0, bins.shape[0] - 2)
     flux = jnp.zeros(bins.shape[0], f.dtype).at[idx].add(jnp.where(valid, f, 0.0))
+    if axis_name is not None:
+        flux = jax.lax.psum(flux, axis_name)
     total = jnp.sum(flux)
-    flux = jnp.where(total > 0, flux / total, flux)
-    return bins, flux
+    return jnp.where(total > 0, flux / total, flux)

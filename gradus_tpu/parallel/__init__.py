@@ -1,2 +1,8 @@
 from gradus_tpu.parallel.mesh import ray_mesh, P_RAYS, P_NONE
-from gradus_tpu.parallel.sharded import sharded_trace, sharded_render, pad_to_multiple
+from gradus_tpu.parallel.sharded import (
+    sharded_trace,
+    sharded_render,
+    sharded_lineprofile,
+    sharded_emissivity,
+    pad_to_multiple,
+)

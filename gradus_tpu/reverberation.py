@@ -56,25 +56,31 @@ def lag_frequency(*args, **kwargs):
     return _lag_frequency_fft(*args, **kwargs)
 
 
-def _lag_frequency_fft(t, f, flo: float = 5e-5, R: float = 1.0):
-    t = np.asarray(t)
-    f = np.asarray(f)
+def _lag_frequency_fft(t, f, flo: float = 5e-5, R: float = 1.0, n_ext: int | None = None):
+    """FFT lag spectrum of the impulse response (reverberation.jl:17-45).
+
+    Device-resident and differentiable: only the padded length (a shape) is
+    computed on host. Pass `n_ext` explicitly when `t` is a traced value."""
+    t = jnp.asarray(t)
+    f = jnp.asarray(f)
     if f.ndim == 2:
         # impulse response: NaN-tolerant sum over the energy axis
-        psi = np.nansum(f, axis=0)
+        psi = jnp.nansum(f, axis=0)
     else:
         psi = f
+    if n_ext is None:
+        # padded-grid length: len(arange(t₀, 1/flo + dt, dt)) — shape only, host-side
+        t_host = np.asarray(t)
+        dt_host = float(t_host[1] - t_host[0])
+        n_ext = len(np.arange(float(t_host.min()), 1.0 / flo + dt_host, dt_host))
     dt = t[1] - t[0]
-    t_ext = np.arange(t.min(), 1.0 / flo + dt, dt)
-    psi_ext = np.zeros_like(t_ext)
-    psi_ext[: psi.shape[0]] = psi
+    psi_ext = jnp.zeros(n_ext, psi.dtype).at[: psi.shape[0]].set(psi)
 
-    freq = np.fft.fftfreq(len(t_ext), dt)
-    F = R * np.fft.fft(psi_ext)
-    half = len(freq) // 2
-    phase = np.arctan(np.imag(F[:half]) / (1.0 + np.real(F[:half])))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        tau = phase / (2 * np.pi * freq[:half])
+    freq = jnp.fft.fftfreq(n_ext, dt)
+    F = R * jnp.fft.fft(psi_ext)
+    half = n_ext // 2
+    phase = jnp.arctan(jnp.imag(F[:half]) / (1.0 + jnp.real(F[:half])))
+    tau = phase / (2 * jnp.pi * freq[:half])
     return freq[:half], -tau
 
 

@@ -257,18 +257,29 @@ def cunningham_transfer_function(
     t_all = cat(t_s, probes_min[3], probes_max[3])
     ok_all = cat(ok_s, probes_min[4], probes_max[4])
 
+    # extrema from the collected samples ONLY (the golden-section candidates
+    # are themselves samples): the argmin/argmax samples then get g✶ = 0 / 1
+    # EXACTLY (IEEE x/x = 1), so √(g✶(1−g✶)) = 0 kills the divergent-J
+    # endpoint instead of producing a 0·∞ garbage f — matching the reference
+    # accumulator, where the extremal sample is stored bit-identically to
+    # gmin/gmax (`_cunningham_transfer_function!`, :314-332).
+    del gmin_cand, gmax_cand
     g_valid = jnp.where(ok_all, g_all, jnp.inf)
-    gmin = jnp.minimum(gmin_cand, jnp.min(g_valid, axis=1))
+    gmin = jnp.min(g_valid, axis=1)
     g_valid_neg = jnp.where(ok_all, g_all, -jnp.inf)
-    gmax = jnp.maximum(gmax_cand, jnp.max(g_valid_neg, axis=1))
+    gmax = jnp.max(g_valid_neg, axis=1)
 
     # --- transfer function values ----------------------------------------
     span = (gmax - gmin)[:, None]
     gstar_all = (g_all - gmin[:, None]) / span
     Jstar = span * J_all
-    f_all = (1.0 / (jnp.pi * radii[:, None])) * g_all * jnp.sqrt(
-        jnp.clip(gstar_all * (1.0 - gstar_all), 0.0, None)
-    ) * Jstar
+    root = jnp.sqrt(jnp.clip(gstar_all * (1.0 - gstar_all), 0.0, None))
+    # at the exact extrema root = 0 while J may overflow: f ≡ 0 there
+    f_all = jnp.where(
+        root == 0.0,
+        0.0,
+        (1.0 / (jnp.pi * radii[:, None])) * g_all * root * Jstar,
+    )
 
     # --- sort by θ, split branches at the g✶ extrema ----------------------
     order = jnp.argsort(th_all, axis=1)

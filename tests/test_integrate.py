@@ -4,6 +4,7 @@ disc intersection accuracy, and differentiability."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gradus_tpu.geodesics import constrain_all, propernorm
 from gradus_tpu.integrate import StatusCodes, trace_geodesics
@@ -163,6 +164,7 @@ def test_kerr_disc_hit_batch():
         assert 10.0 < rho < 50.0
 
 
+@pytest.mark.slow
 def test_trace_differentiable_forward():
     """jax.jacfwd through the full trace (the reference pushes ForwardDiff
     duals through the ODE solve the same way)."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gradus_tpu as gt
 from gradus_tpu.geometry import MeshAccretionGeometry, jsf_segment_triangle
@@ -52,6 +53,7 @@ def test_mesh_render_hit():
     assert st[1] != int(StatusCodes.IntersectedWithGeometry)
 
 
+@pytest.mark.slow
 def test_transfer_table_interpolation():
     """2x2 (a, θ) lattice: querying a lattice point reproduces that grid; a
     midpoint query lies between neighbours."""

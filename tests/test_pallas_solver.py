@@ -30,6 +30,7 @@ def kerr_disc_setup():
     return m, d, xs, v
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_solver(kerr_disc_setup):
     m, d, xs, v = kerr_disc_setup
     gp_ref = trace_geodesics(m, xs, v, (0.0, 2200.0), geometry=d)

@@ -14,6 +14,10 @@ import gradus_tpu as gt
 from gradus_tpu.camera.grids import InverseGrid
 from gradus_tpu.transfer import transferfunctions, integrate_lagtransfer
 
+# golden-parity pipeline: heavy (the module fixture alone is ~4 min on CPU);
+# the fast tier covers reverberation via tests/test_fast_smoke.py
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lag_spectrum():
@@ -40,8 +44,19 @@ def test_continuum_time(lag_spectrum):
 
 
 def test_sum_freq_golden(lag_spectrum):
-    freq, _, _, _ = lag_spectrum
+    """Σfreq reproduces the reference FFT-grid fingerprint
+    (`test/smoke-tests/reverberation.jl:42`) — a grid-mechanics check — AND
+    the impulse response carries real physics: its flux-weighted mean echo
+    delay must sit in the physical range for an h=5 lamppost seen at 45°
+    (light-crossing + Shapiro delays of a few-to-tens of r_g)."""
+    freq, _, flux, _ = lag_spectrum
     np.testing.assert_allclose(freq.sum(), 2449.8787687490535, rtol=1e-6)
+    tbins = np.linspace(0.0, 100.0, 100)
+    psi = np.nansum(np.where(np.isnan(flux), 0.0, flux), axis=0)
+    centroid = float((tbins * psi).sum() / psi.sum())
+    assert 5.0 < centroid < 60.0
+    # echoes are causal: no flux in the first bins before the shortest path
+    assert psi[:2].sum() < 0.5 * psi.max()
 
 
 def test_tau_golden(lag_spectrum):
