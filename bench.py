@@ -24,6 +24,15 @@ def main():
     import jax.numpy as jnp
 
     os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+    # persistent compile cache: the compaction scheduler jits one program per
+    # working-set bucket; over the remote-compile tunnel those dominate wall
+    # time on a cold start, and they are identical across bench runs.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from gradus_tpu.metrics import KerrMetric
     from gradus_tpu.geometry import ThinDisc

@@ -119,6 +119,11 @@ from gradus_tpu.transfer import (
     TransferBranchGrid,
     integrate_lineprofile,
     integrate_lagtransfer,
+    integrate_lagtransfer_timedep,
+    closest_approach,
+    optimize_for_target,
+    impact_parameters_for_target,
+    is_visible,
     CunninghamTransferTable,
     make_transfer_function_table,
     LineProfileModel,
@@ -139,6 +144,11 @@ from gradus_tpu.corona import (
     tracecorona,
     RadialDiscProfile,
     AnalyticRadialDiscProfile,
+    TimeDependentRadialDiscProfile,
+    RingCoronaProfile,
+    DiscCoronaProfile,
+    ring_corona_profile,
+    disc_corona_profile,
 )
 from gradus_tpu.reverberation import lag_frequency, continuum_time, lagtransfer, binflux
 

@@ -22,3 +22,13 @@ from gradus_tpu.corona.emissivity import (
     tracecorona,
     point_source_emissivity_profile,
 )
+from gradus_tpu.corona.extended import (
+    TimeDependentRadialDiscProfile,
+    RingCoronaProfile,
+    DiscCoronaProfile,
+    ring_corona_profile,
+    disc_corona_profile,
+    co_rotating_velocity,
+    stationary_velocity,
+    default_beta_angles,
+)

@@ -269,12 +269,23 @@ def emissivity_profile(
     **kwargs,
 ) -> RadialDiscProfile:
     """Dispatch: fast 1D sweep for on-axis point sources when no sampler is
-    given, else Monte-Carlo (reference `emissivity_profile`,
-    emissivity.jl:133-168)."""
+    given; β-slice arm tracing for ring/disc coronae; else Monte-Carlo
+    (reference `emissivity_profile`, emissivity.jl:133-168 +
+    extended.jl:133-143,186-200)."""
+    from gradus_tpu.corona.models import RingCorona, DiscCorona
+
     if sampler is None and isinstance(model, (LampPostModel, BeamedPointSource)):
         return point_source_emissivity_profile(
             m, d, model, spectrum, n_samples=n_samples, **kwargs
         )
+    if sampler is None and isinstance(model, RingCorona):
+        from gradus_tpu.corona.extended import ring_corona_profile
+
+        return ring_corona_profile(m, d, model, spectrum, **kwargs)
+    if sampler is None and isinstance(model, DiscCorona):
+        from gradus_tpu.corona.extended import disc_corona_profile
+
+        return disc_corona_profile(m, d, model, spectrum, **kwargs)
     return tracecorona_profile(
         m, d, model, spectrum, sampler=sampler, n_samples=n_samples, **kwargs
     )

@@ -60,40 +60,50 @@ class BeamedPointSource:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RingCorona:
-    """Off-axis ring source (reference `src/corona/models/extended.jl:61-120`).
-    Sampled as a point at (r, θ) rotated around the axis — the axisymmetric
-    emissivity is the azimuth-average, which for a static axisymmetric metric
-    equals the single-point profile."""
+    """Off-axis ring source (reference `src/corona/models/extended.jl:61-84`):
+    an infinitely thin ring of cylindrical radius r at height h. The source
+    point sits at spherical (√(r²+h²), atan2(r, h)); its velocity is either
+    Keplerian co-rotation of the cylinder (the reference default,
+    `SourceVelocities.co_rotating`) or stationary."""
 
     r: float = 5.0
     h: float = 5.0
+    vf: str = dataclasses.field(default="co_rotating", metadata=dict(static=True))
 
     def sample_position_velocity(self, m: AbstractMetric):
+        from gradus_tpu.corona.extended import source_velocity
+
         dtype = jnp.result_type(self.r, float)
         rr = jnp.sqrt(self.r**2 + self.h**2)
         theta = jnp.arctan2(self.r, self.h)
         x = jnp.stack(
             [jnp.asarray(0.0, dtype), rr, theta, jnp.asarray(0.0, dtype)]
         )
-        g = m.components(x[1], x[2])
-        v = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype) / jnp.sqrt(-g[0])
-        return x, v
+        return x, source_velocity(m, x, self.vf)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DiscCorona:
     """Extended disc corona of radius r at height h — a stack of rings
-    (reference extended.jl:121-203)."""
+    (reference extended.jl:164-200)."""
 
     r: float = 10.0
     h: float = 5.0
-    n_rings: int = dataclasses.field(default=10, metadata=dict(static=True))
+    vf: str = dataclasses.field(default="co_rotating", metadata=dict(static=True))
 
-    def rings(self):
-        import numpy as np
+    def sample_position_velocity(self, m: AbstractMetric):
+        """Representative source point for Monte-Carlo sampling. The reference
+        draws a uniform random cylindrical radius (extended.jl:178-184); here
+        the deterministic area-median radius r/√2 keeps the path jit-pure —
+        the ring-stack `emissivity_profile` is the production algorithm."""
+        from gradus_tpu.corona.extended import source_velocity
 
-        # even-area ring radii
-        edges = np.sqrt(np.linspace(0.0, 1.0, self.n_rings + 1)) * self.r
-        centers = 0.5 * (edges[1:] + edges[:-1])
-        return [RingCorona(r=float(rc), h=self.h) for rc in centers]
+        dtype = jnp.result_type(self.r, float)
+        rho = jnp.asarray(self.r / jnp.sqrt(2.0), dtype)
+        rr = jnp.sqrt(rho**2 + self.h**2)
+        theta = jnp.arctan2(rho, jnp.asarray(self.h, dtype))
+        x = jnp.stack(
+            [jnp.asarray(0.0, dtype), rr, theta, jnp.asarray(0.0, dtype)]
+        )
+        return x, source_velocity(m, x, self.vf)

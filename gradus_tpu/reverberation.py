@@ -28,10 +28,17 @@ def continuum_time(m: AbstractMetric, x, model, rho_factor: float = 1e-3):
     source (`optimize_for_target`, precision-solvers.jl:453-546). For an
     on-axis source this is equivalent to root-finding the ray that crosses the
     source's height plane at the source's cylindrical radius — which reuses
-    the batched offset solver."""
+    the batched offset solver. Off-axis sources (ring / disc coronae) go
+    through the generic batched `optimize_for_target`."""
+    from gradus_tpu.corona.models import RingCorona, DiscCorona
     from gradus_tpu.geometry.discs import DatumPlane
 
     x_src, _ = model.sample_position_velocity(m)
+    if isinstance(model, (RingCorona, DiscCorona)):
+        from gradus_tpu.transfer.targets import optimize_for_target
+
+        _, _, gp, _ = optimize_for_target(x_src[1:4], m, x)
+        return gp.x[0]
     z_src = x_src[1] * jnp.cos(x_src[2])
     rho_src = jnp.maximum(x_src[1] * jnp.sin(x_src[2]), rho_factor * x_src[1])
     plane = DatumPlane(z_src)
@@ -111,9 +118,17 @@ def _lag_frequency_model(
     prof = emissivity_profile(m, d, model, spectrum, n_samples=n_samples)
     t0 = continuum_time(m, x, model)
     tfs = transferfunctions(m, x, d, radii=radii, **kwargs)
-    flux = integrate_lagtransfer(
-        prof, tfs, bins, tbins, t0=t0, n_radii=n_radii
-    )
+    if hasattr(prof, "time_emissivity_curve"):
+        # ring / disc corona: spread flux over the ε(t | rₑ) light curve
+        from gradus_tpu.transfer.integration import integrate_lagtransfer_timedep
+
+        flux = integrate_lagtransfer_timedep(
+            prof, tfs, bins, tbins, t0=t0, n_radii=min(n_radii, 400)
+        )
+    else:
+        flux = integrate_lagtransfer(
+            prof, tfs, bins, tbins, t0=t0, n_radii=n_radii
+        )
     flux = jnp.where(flux == 0, jnp.nan, flux)
     return tbins, bins, flux
 

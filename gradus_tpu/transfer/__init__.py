@@ -21,3 +21,10 @@ from gradus_tpu.transfer.tables import (
     make_transfer_function_table,
     LineProfileModel,
 )
+from gradus_tpu.transfer.integration import integrate_lagtransfer_timedep
+from gradus_tpu.transfer.targets import (
+    closest_approach,
+    optimize_for_target,
+    impact_parameters_for_target,
+    is_visible,
+)

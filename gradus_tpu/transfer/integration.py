@@ -26,7 +26,11 @@ from gradus_tpu.camera.grids import InverseGrid, GeometricGrid
 from gradus_tpu.transfer.cunningham import TransferBranchGrid, g_to_gstar, gstar_to_g
 from gradus_tpu.utils.quadrature import gauss_legendre
 
-__all__ = ["integrate_lineprofile", "integrate_lagtransfer"]
+__all__ = [
+    "integrate_lineprofile",
+    "integrate_lagtransfer",
+    "integrate_lagtransfer_timedep",
+]
 
 
 def _branch_value(grid_rows, gstar_axis, gstar_q):
@@ -247,4 +251,102 @@ def integrate_lagtransfer(
     total = jnp.sum(out)
     out = jnp.where(total > 0, out / total, out)
     # pad to len(g_grid) rows like the reference output layout
+    return jnp.concatenate([out, jnp.zeros((1, nt), out.dtype)], axis=0)
+
+
+def integrate_lagtransfer_timedep(
+    profile,
+    tfs: TransferBranchGrid,
+    g_grid,
+    t_grid,
+    *,
+    h: float = 2e-8,
+    n_radii: int = 400,
+    n_time: int = 100,
+    quadrature_points: int = 7,
+    rmin=None,
+    rmax=None,
+    g_scale: float = 1.0,
+    t0: float = 0.0,
+):
+    """2D (g, t) flux for a TIME-DEPENDENT emissivity profile (ring / disc
+    corona): per annulus the branch flux is spread over the source-to-disc
+    light curve ε(t | rₑ) instead of a single delay (reference
+    `_integrate_transfer_problem!` for RingCoronaProfile/DiscCoronaProfile,
+    ring.jl:857-950, N_t_steps=100).
+
+    `profile` must provide `time_limits_at(r)` and
+    `time_emissivity_curve(r, tq)` (a TimeDependentRadialDiscProfile,
+    RingCoronaProfile, or DiscCoronaProfile). The time axis is a `lax.scan`
+    so peak memory stays at one (n_radii, n_bins) panel per step."""
+    g_grid = jnp.asarray(g_grid)
+    t_grid = jnp.asarray(t_grid)
+    rmin = tfs.inner_radius() if rmin is None else rmin
+    rmax = tfs.outer_radius() if rmax is None else rmax
+
+    r_fine = GeometricGrid()(rmin, rmax, n_radii)
+    dr = jnp.diff(r_fine, prepend=rmin - (r_fine[1] - rmin))
+    br = tfs.at_radius(r_fine)
+    gmin, gmax = br["gmin"], br["gmax"]
+    weight = dr * r_fine * jnp.pi / (gmax - gmin)
+
+    quad = gauss_legendre(quadrature_points)
+
+    def branch_S(which):
+        def S(gvals):
+            gstar = (gvals - gmin[:, None]) / (gmax - gmin)[:, None]
+            gstar_c = jnp.clip(gstar, 1e-12, 1.0 - 1e-12)
+            f = _branch_value(br[which], tfs.gstar, gstar_c)
+            return gvals**3 * jnp.nan_to_num(f) / jnp.sqrt(
+                gstar_c * (1.0 - gstar_c)
+            )
+
+        return S
+
+    k_lower = _integrate_bins(branch_S("lower_f"), g_grid / g_scale, gmin, gmax, h, quad)
+    k_upper = _integrate_bins(branch_S("upper_f"), g_grid / g_scale, gmin, gmax, h, quad)
+
+    span_ = (gmax - gmin)[:, None]
+    gstar_e0 = jnp.clip((g_grid[None, :-1] / g_scale - gmin[:, None]) / span_, 1e-6, 1 - 1e-6)
+    gstar_e1 = jnp.clip((g_grid[None, 1:] / g_scale - gmin[:, None]) / span_, 1e-6, 1 - 1e-6)
+    t_lower = 0.5 * (
+        _branch_value(br["lower_t"], tfs.gstar, gstar_e0)
+        + _branch_value(br["lower_t"], tfs.gstar, gstar_e1)
+    )
+    t_upper = 0.5 * (
+        _branch_value(br["upper_t"], tfs.gstar, gstar_e0)
+        + _branch_value(br["upper_t"], tfs.gstar, gstar_e1)
+    )
+
+    # light curve ε(t | rₑ) sampled on n_time points per annulus
+    tmin, tmax = jax.vmap(profile.time_limits_at)(r_fine)  # (nf,)
+    frac = jnp.linspace(0.0, 1.0, n_time)
+    tq = tmin[:, None] + frac[None, :] * (tmax - tmin)[:, None]  # (nf, nt_src)
+    em = jax.vmap(profile.time_emissivity_curve)(r_fine, tq)  # (nf, nt_src)
+    dt_src = (tmax - tmin) / n_time  # (nf,)
+
+    nb = g_grid.shape[0] - 1
+    nt = t_grid.shape[0]
+
+    def scatter_step(out, inputs):
+        tq_k, em_k = inputs  # (nf,), (nf,)
+        amp = (weight * em_k * dt_src)[:, None]  # (nf, 1)
+        for k_br, t_br in ((k_lower, t_lower), (k_upper, t_upper)):
+            t_arr = t_br + tq_k[:, None] - t0  # (nf, nb)
+            ti = jnp.searchsorted(t_grid, t_arr)
+            valid = ti < nt
+            ti = jnp.clip(ti, 0, nt - 1)
+            contrib = jnp.where(valid, k_br * amp, 0.0)
+            flat_idx = (jnp.arange(nb)[None, :] * nt + ti).ravel()
+            out = out.at[flat_idx].add(contrib.ravel())
+        return out, None
+
+    out0 = jnp.zeros((nb * nt,), k_lower.dtype)
+    out, _ = jax.lax.scan(scatter_step, out0, (tq.T, em.T))
+    out = out.reshape(nb, nt)
+
+    gbar = (g_grid[:-1] + g_grid[1:])[:, None]
+    out = out / gbar
+    total = jnp.sum(out)
+    out = jnp.where(total > 0, out / total, out)
     return jnp.concatenate([out, jnp.zeros((1, nt), out.dtype)], axis=0)

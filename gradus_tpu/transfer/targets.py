@@ -1,0 +1,180 @@
+"""Target optimization and visibility testing.
+
+Reference: `src/tracing/precision-solvers.jl:384-546` — `optimize_for_target`
+(NelderMead over (α, β) minimizing the closest approach of the traced geodesic
+to a target 3-position, with a continuous distance callback terminating inside
+`d_tol`) and `_is_visible` (re-trace against the occluding geometry and check
+the endpoint has not moved).
+
+TPU-first redesign: instead of a serial NelderMead whose per-iteration control
+flow cannot batch, each refinement round evaluates a full (n_grid × n_grid)
+fan of impact-parameter candidates per target in ONE batched dense trace,
+keeps the argmin, and shrinks the search window around it. Rounds are a fixed
+host loop (a handful of compiled launches); every candidate's closest approach
+is the masked minimum of the saved-trajectory distance to the target — the
+role of the reference's distance callback. Multiple targets optimize in
+lockstep as an extra batch axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gradus_tpu.camera.impact import map_impact_parameters
+from gradus_tpu.integrate.status import StatusCodes
+from gradus_tpu.integrate.tracing import trace_geodesics, trace_geodesics_dense
+from gradus_tpu.metrics.base import AbstractMetric
+from gradus_tpu.utils.linalg import spherical_to_cartesian
+
+__all__ = [
+    "closest_approach",
+    "optimize_for_target",
+    "impact_parameters_for_target",
+    "is_visible",
+]
+
+
+def closest_approach(
+    m: AbstractMetric,
+    x0,
+    alphas,
+    betas,
+    target,
+    *,
+    lam_max: float | None = None,
+    n_save: int = 256,
+    mu: float = 0.0,
+    chart_outer: float | None = None,
+):
+    """Minimum cartesian distance between each traced geodesic and the target
+    3-position (r, θ, φ), taken over the saved trajectory (reference distance
+    callback, precision-solvers.jl:473-486). Returns (dist, t_closest, gp)."""
+    x0 = jnp.asarray(x0)
+    if lam_max is None:
+        lam_max = 2.0 * float(x0[1])
+    if chart_outer is None:
+        chart_outer = 2.0 * float(x0[1])
+    return _closest_approach_impl(
+        m, x0, alphas, betas, target, lam_max, n_save, mu, chart_outer
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("lam_max", "n_save", "mu", "chart_outer"))
+def _closest_approach_impl(m, x0, alphas, betas, target, lam_max, n_save, mu, chart_outer):
+    alphas = jnp.asarray(alphas)
+    betas = jnp.broadcast_to(jnp.asarray(betas), alphas.shape)
+    v = map_impact_parameters(m, x0, alphas, betas)
+    xs = jnp.broadcast_to(x0, v.shape)
+    gp, traj, _, nsteps = trace_geodesics_dense(
+        m, xs, v, (0.0, lam_max), mu=mu, n_save=n_save, chart_outer=chart_outer
+    )
+    pts = traj[..., 0:4]  # (..., n_save, 4)
+    cart = spherical_to_cartesian(pts)
+    tgt = spherical_to_cartesian(jnp.asarray(target, x0.dtype))
+    dd = jnp.sqrt(jnp.sum((cart - tgt) ** 2, axis=-1))  # (..., n_save)
+    k = jnp.arange(pts.shape[-2])
+    mask = k < nsteps[..., None]
+    dd = jnp.where(mask, dd, jnp.inf)
+    i_min = jnp.argmin(dd, axis=-1)
+    dist = jnp.take_along_axis(dd, i_min[..., None], axis=-1)[..., 0]
+    # coordinate time at the closest-approach point — the quantity the
+    # reference's distance-callback termination delivers as gp.x[1]
+    t_closest = jnp.take_along_axis(pts[..., 0], i_min[..., None], axis=-1)[..., 0]
+    return dist, t_closest, gp
+
+
+def optimize_for_target(
+    target,
+    m: AbstractMetric,
+    x0,
+    *,
+    n_grid: int = 9,
+    n_rounds: int = 8,
+    span0: float | None = None,
+    center0=(0.0, 0.0),
+    lam_max: float | None = None,
+    n_save: int = 256,
+    mu: float = 0.0,
+):
+    """Find the image-plane (α, β) whose geodesic passes closest to the target
+    3-position (reference `optimize_for_target`,
+    precision-solvers.jl:518-535). Returns (α, β, GeodesicPoint at the hit,
+    accuracy).
+
+    Each round traces an n_grid × n_grid candidate fan in one batch and zooms
+    the window onto the argmin; the window shrinks by n_grid/2 per round, so 8
+    rounds at the default span resolve the target to ~1e-3 r_g."""
+    x0 = jnp.asarray(x0)
+    target = jnp.asarray(target, x0.dtype)
+    if span0 is None:
+        # the target's cylindrical radius bounds the impact parameter scale
+        span0 = float(4.0 * (abs(float(target[0])) + 10.0))
+
+    ca, cb = (jnp.asarray(c, x0.dtype) for c in center0)
+    span = jnp.asarray(span0, x0.dtype)
+    off = jnp.linspace(-0.5, 0.5, n_grid, dtype=x0.dtype)
+
+    best = None
+    for _ in range(n_rounds):
+        al = ca + span * off[:, None]
+        be = cb + span * off[None, :]
+        al_g = jnp.broadcast_to(al, (n_grid, n_grid)).ravel()
+        be_g = jnp.broadcast_to(be, (n_grid, n_grid)).ravel()
+        dist, t_closest, gp = closest_approach(
+            m, x0, al_g, be_g, target, lam_max=lam_max, n_save=n_save, mu=mu
+        )
+        i = jnp.argmin(dist)
+        ca, cb = al_g[i], be_g[i]
+        gp_i = jax.tree_util.tree_map(lambda a: a[i], gp)
+        # report the closest-approach time (the reference's distance callback
+        # terminates there, so its gp.x[1] is exactly this)
+        gp_i = dataclasses.replace(gp_i, x=gp_i.x.at[0].set(t_closest[i]))
+        best = (ca, cb, gp_i, dist[i])
+        # window shrinks to ±1 grid cell around the winner
+        span = span * (2.0 / (n_grid - 1))
+
+    return best
+
+
+def impact_parameters_for_target(target, m: AbstractMetric, x0, **kwargs):
+    """(α, β, accuracy) convenience wrapper (reference
+    precision-solvers.jl:537-546)."""
+    a, b, _, acc = optimize_for_target(target, m, x0, **kwargs)
+    return a, b, acc
+
+
+def is_visible(
+    m: AbstractMetric,
+    d,
+    gp,
+    *,
+    lam_max: float,
+    atol: float = 1e-6,
+    gtol: float = 1e-2,
+    chart_outer: float | None = None,
+):
+    """Re-trace the geodesic from its initial conditions against geometry `d`;
+    the original endpoint is visible if the re-trace terminates at (within
+    `atol` of) the same point, i.e. nothing occludes it (reference
+    `_is_visible`, precision-solvers.jl:384-398). Batched over gp."""
+    kwargs = {}
+    if chart_outer is not None:
+        kwargs["chart_outer"] = chart_outer
+    gp2 = trace_geodesics(
+        m,
+        gp.x_init,
+        gp.v_init,
+        (0.0, lam_max),
+        geometry=d,
+        gtol=gtol,
+        constrain=False,
+        **kwargs,
+    )
+    c1 = spherical_to_cartesian(gp.x)
+    c2 = spherical_to_cartesian(gp2.x)
+    dist2 = jnp.sum((c1 - c2) ** 2, axis=-1)
+    return dist2 < atol
