@@ -153,3 +153,4 @@ from gradus_tpu.corona import (
 from gradus_tpu.reverberation import lag_frequency, continuum_time, lagtransfer, binflux
 
 __version__ = "0.1.0"
+from gradus_tpu.diff import fwd_adjoint, value_and_grad_fwd, grad_fwd

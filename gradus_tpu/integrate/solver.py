@@ -629,12 +629,18 @@ class CompactedIntegrator:
         glob_idx = jnp.arange(N)
 
         iters = 0
+        iters_prev = 0
+        stats = []  # per segment: (working-set width, executed iters, alive after)
         while iters < self.p.max_steps:
+            width = carry["lam"].shape[0]
             carry, n_alive = self._segment(
                 carry, jnp.int32(min(iters + self.segment_iters, self.p.max_steps))
             )
             iters += self.segment_iters
             n_alive = int(n_alive)
+            iters_exec = int(carry["iters"])
+            stats.append((width, iters_exec - iters_prev, n_alive))
+            iters_prev = iters_exec
             if n_alive == 0:
                 break
             cur = carry["lam"].shape[0]
@@ -646,4 +652,10 @@ class CompactedIntegrator:
                 glob_idx = glob_idx[idx]
 
         out = self._scatter(out, {k: carry[k] for k in _OUT_KEYS}, glob_idx)
-        return self._finalize(out, y0, lam0)
+        # observability: lane-steps actually executed vs the useful per-ray
+        # steps lets callers compute the wasted-work fraction (BASELINE /
+        # SURVEY §5 profiling parity)
+        self.last_stats = stats
+        result = self._finalize(out, y0, lam0)
+        self.last_steps = result.steps
+        return result
