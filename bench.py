@@ -57,7 +57,11 @@ def main():
     pf = redshift_pointfunction(m, x_obs)
 
     # high-throughput path: segmented integration + alive-ray compaction
-    tracer = Tracer(m, geometry=d, min_bucket=2048, segment_iters=96)
+    min_bucket = int(os.environ.get("BENCH_MIN_BUCKET", "2048"))
+    segment_iters = int(os.environ.get("BENCH_SEGMENT_ITERS", "96"))
+    tracer = Tracer(
+        m, geometry=d, min_bucket=min_bucket, segment_iters=segment_iters
+    )
     v = map_impact_parameters(m, x_obs, A, B)
     xs = jnp.broadcast_to(x_obs, v.shape)
 

@@ -95,6 +95,10 @@ from gradus_tpu.camera import (
     rendergeodesics,
     prerendergeodesics,
     EndpointRenderCache,
+    AdaptiveGrid2D,
+    adaptive_render,
+    adaptive_sky,
+    fill_sky_values,
 )
 from gradus_tpu.orbits import (
     CircularOrbits,

@@ -24,3 +24,9 @@ from gradus_tpu.camera.render import (
     EndpointRenderCache,
     apply,
 )
+from gradus_tpu.camera.adaptive import (
+    AdaptiveGrid2D,
+    adaptive_render,
+    adaptive_sky,
+    fill_sky_values,
+)
