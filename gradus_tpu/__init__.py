@@ -65,6 +65,8 @@ from gradus_tpu.integrate import (
     trace_radiative_transfer,
     trace_windings,
     domain_upper_hemisphere,
+    PoloidalShape,
+    event_horizon_chart,
 )
 from gradus_tpu.geometry import (
     ThinDisc,

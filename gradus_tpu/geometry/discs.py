@@ -340,10 +340,31 @@ class PolishDoughnut(AbstractThickAccretionDisc):
     inner_r: float = 0.0
     outer_r: float = jnp.inf
     z_max: float = 50.0
+    metric: Any = None  # metric-generic isobars when set
 
     def _potential(self, rho, z):
-        # effective potential for constant ℓ in Schwarzschild (spherical R)
+        """Constant-ℓ torus potential W = ½ ln(u_t²) with
+        u_t² = (g_tφ² − g_tt g_φφ)/(g_φφ + 2ℓ g_tφ + ℓ² g_tt)
+        (Abramowicz-Jaroszyński-Sikora). With `metric` set this uses the
+        actual metric components, generalizing the reference's isobar surface
+        to any static axisymmetric spacetime (the reference's ODE isobars,
+        polish-doughnut.jl:1-124, are specialized to Kerr via the Younsi
+        Ψ₁/Ψ₂ differentials); with metric=None the Schwarzschild closed form
+        is used (identical to the generic path for KerrMetric a=0)."""
         R = jnp.sqrt(rho * rho + z * z)
+        if self.metric is not None:
+            R_c = jnp.maximum(R, 1e-6)
+            theta = jnp.arctan2(rho, z)
+            g = self.metric.components(R_c, theta)
+            gtt, gpp, gtp = g[..., 0], g[..., 3], g[..., 4]
+            denom = gpp + 2.0 * self.ell * gtp + self.ell**2 * gtt
+            ut2 = (gtp * gtp - gtt * gpp) / jnp.where(
+                jnp.abs(denom) < 1e-12, 1e-12, denom
+            )
+            bound = denom > 0
+            return jnp.where(
+                bound, 0.5 * jnp.log(jnp.maximum(ut2, 1e-12)), jnp.inf
+            )
         sin2 = jnp.where(R > 0, (rho / jnp.maximum(R, 1e-12)) ** 2, 1.0)
         f = 1.0 - 2.0 * self.M / jnp.maximum(R, 2.2 * self.M)
         denom = R * R * sin2 - self.ell**2 * f

@@ -13,6 +13,8 @@ from gradus_tpu.integrate.tracing import (
     tracegeodesics,
     trace_radiative_transfer,
     trace_windings,
+    PoloidalShape,
+    event_horizon_chart,
     make_geodesic_rhs,
     domain_upper_hemisphere,
 )

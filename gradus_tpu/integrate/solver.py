@@ -303,8 +303,15 @@ def _make_body(p: _Problem, dtype):
             c_prev_new = c["c_prev"]
 
         # --- chart + user discrete events (step end), masked by no-hit -------
+        # r_inner may be a θ-dependent PoloidalShape (reference
+        # `PoloidalShapeChart`, charts.jl:26-48) — interpolate r_min(θ)
         r_new = y_new[..., 1]
-        inner = accept & ~hit_now & (r_new <= p.r_inner)
+        shape = getattr(p.r_inner, "rs", None)
+        if shape is not None:
+            rmin = jnp.interp(y_new[..., 2], p.r_inner.thetas, p.r_inner.rs)
+        else:
+            rmin = p.r_inner
+        inner = accept & ~hit_now & (r_new <= rmin)
         outer = accept & ~hit_now & (r_new > p.r_outer)
         user_masks = []
         for pred, _code in p.terminate_fns:
@@ -546,6 +553,7 @@ class CompactedIntegrator:
         segment_iters: int = 96,
         min_bucket: int = 8192,
         event_method: str = "cubic",
+        segment_schedule: tuple | None = None,
     ):
         self.p = _Problem(
             f=f,
@@ -568,6 +576,18 @@ class CompactedIntegrator:
         )
         self.segment_iters = segment_iters
         self.min_bucket = min_bucket
+        # growing segment schedule: short early segments let compaction trim
+        # the fast-dying bulk (disc hits cluster at ~60 steps on the flagship
+        # render) before wasting full-width lanes; long late segments
+        # amortize host round trips over the long-lived tail. The cap is a
+        # traced operand, so the schedule adds NO extra compilations.
+        if segment_schedule is None:
+            s, seq = max(segment_iters // 4, 8), []
+            while s < segment_iters:
+                seq.extend([s, s])
+                s *= 2
+            segment_schedule = tuple(seq) or (segment_iters,)
+        self.segment_schedule = tuple(segment_schedule)
 
         p = self.p
 
@@ -630,15 +650,24 @@ class CompactedIntegrator:
 
         iters = 0
         iters_prev = 0
+        seg_no = 0
         stats = []  # per segment: (working-set width, executed iters, alive after)
         while iters < self.p.max_steps:
             width = carry["lam"].shape[0]
-            carry, n_alive = self._segment(
-                carry, jnp.int32(min(iters + self.segment_iters, self.p.max_steps))
+            seg_len = (
+                self.segment_schedule[seg_no]
+                if seg_no < len(self.segment_schedule)
+                else self.segment_iters
             )
-            iters += self.segment_iters
+            seg_no += 1
+            carry, n_alive = self._segment(
+                carry, jnp.int32(min(iters + seg_len, self.p.max_steps))
+            )
+            iters += seg_len
+            # one host round trip for both scalars
+            n_alive, iters_exec = jax.device_get((n_alive, carry["iters"]))
             n_alive = int(n_alive)
-            iters_exec = int(carry["iters"])
+            iters_exec = int(iters_exec)
             stats.append((width, iters_exec - iters_prev, n_alive))
             iters_prev = iters_exec
             if n_alive == 0:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -238,6 +238,7 @@ class Tracer:
         n_interp: int = 8,
         segment_iters: int = 96,
         min_bucket: int = 8192,
+        segment_schedule: tuple | None = None,
         dtype=None,
     ):
         from gradus_tpu.integrate.solver import CompactedIntegrator
@@ -283,6 +284,7 @@ class Tracer:
             n_interp=n_interp,
             segment_iters=segment_iters,
             min_bucket=min_bucket,
+            segment_schedule=segment_schedule,
         )
         self._constrain = jax.jit(
             lambda x, v: jnp.concatenate(
@@ -562,3 +564,26 @@ def trace_windings(
         gp = gp[0]
         windings = windings[0]
     return gp, windings
+
+
+class PoloidalShape(NamedTuple):
+    """θ-dependent inner chart boundary r_min(θ) (reference
+    `PoloidalShapeChart`, `src/tracing/charts.jl:26-48`). Pass as
+    `chart_inner=` to `trace_geodesics` / `Tracer`; the solver interpolates
+    r_min at each ray's current θ."""
+
+    rs: Any
+    thetas: Any
+
+
+def event_horizon_chart(
+    m: AbstractMetric, closest_approach: float = 1.01, resolution: int = 128
+) -> PoloidalShape:
+    """Shaped inner boundary from the θ-dependent event horizon (reference
+    `event_horizon_chart`, charts.jl:60-69) — matters for near-extremal spins
+    and deformed metrics where the horizon is not a coordinate sphere."""
+    from gradus_tpu.orbits.special_radii import event_horizon
+
+    rs, thetas = event_horizon(m, resolution=resolution)
+    rs = jnp.nan_to_num(rs, nan=float(m.inner_radius()))
+    return PoloidalShape(rs=rs * closest_approach, thetas=thetas)
