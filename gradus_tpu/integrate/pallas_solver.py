@@ -189,6 +189,7 @@ def _make_kernel(
         hdt_ref,
         hlam_ref,
         hth_ref,
+        iters_ref,
     ):
         dtype = y0_ref.dtype
         y = tuple(y0_ref[i] for i in range(S))
@@ -428,6 +429,10 @@ def _make_kernel(
         hdt_ref[...] = cf[13]
         hlam_ref[...] = cf[14]
         hth_ref[...] = cf[15]
+        # observability: loop iterations this tile actually executed (every ray
+        # in the tile occupies a lane for all of them) — lets callers compute
+        # executed lane-steps vs useful per-ray steps without host round trips
+        iters_ref[...] = jnp.full(cf[7].shape, cf[16], jnp.int32)
 
     return kernel
 
@@ -516,6 +521,7 @@ def pallas_integrate_rays(
             blk_1,  # hit_dt
             blk_1,  # hit_lam
             blk_1,  # hit_theta
+            blk_1,  # tile iters
         ),
         out_shape=(
             shaped(True),
@@ -528,6 +534,7 @@ def pallas_integrate_rays(
             shaped(False),
             shaped(False),
             shaped(False),
+            shaped(False, jnp.int32),
         ),
         interpret=interpret,
     )
@@ -544,7 +551,9 @@ def pallas_integrate_rays(
             return jnp.transpose(a, (0, 2, 3, 1)).reshape(Npad, S)[:N]
         return a.reshape(Npad)[:N]
 
-    (y_f, lam_f, status, steps, failed, hy, hk, hdt, hlam, hth) = map(untile, outs)
+    (y_f, lam_f, status, steps, failed, hy, hk, hdt, hlam, hth, titers) = map(
+        untile, outs
+    )
     return dict(
         y=y_f,
         lam=lam_f,
@@ -556,6 +565,7 @@ def pallas_integrate_rays(
         hit_dt=hdt,
         hit_lam=hlam,
         hit_theta=hth,
+        tile_iters=titers,
     )
 
 
@@ -687,18 +697,25 @@ class PallasTracer:
 
         self._finish = _finish
 
-    def __call__(self, x, v, lam_span, constrain: bool = True):
-        x = jnp.atleast_2d(jnp.asarray(x))
-        v = jnp.atleast_2d(jnp.asarray(v))
-        x, v = jnp.broadcast_arrays(x, v)
-        if constrain:
-            y0 = self._constrain(x, v)
-        else:
-            y0 = jnp.concatenate([x, v], axis=-1)
+        # jitted end-to-end programs cached per (N, S, λ-span): without this,
+        # every call re-traces + re-lowers the whole kernel on the host
+        # (~0.9 s — measured to dominate device time on the 1024² render)
+        self._compiled = {}
+        self.last_tile_iters = None
+
+    def trace(self, y0, lam_span):
+        """Traceable (jit-composable) trace of a constrained (N, S) batch.
+
+        Returns ``(GeodesicPoint, aux)`` where aux carries per-ray
+        observability arrays (``tile_iters``: the kernel-loop iterations the
+        ray's tile executed; ``steps``: the ray's accepted step count). Compose
+        this under one outer `jax.jit` with camera permutations / shading to
+        avoid per-call dispatch latency."""
+        lam0, lam1 = float(lam_span[0]), float(lam_span[1])
         out = pallas_integrate_rays(
             self._f_cm,
             y0,
-            (float(lam_span[0]), float(lam_span[1])),
+            (lam0, lam1),
             abstol=self.abstol,
             reltol=self.reltol,
             r_inner=self.r_inner,
@@ -713,4 +730,28 @@ class PallasTracer:
             event_method=self.event_method,
             interpret=self.interpret,
         )
-        return self._finish(out, y0, float(lam_span[0]))
+        gp = self._finish(out, y0, lam0)
+        aux = {"tile_iters": out["tile_iters"], "steps": out["steps"]}
+        return gp, aux
+
+    def _program(self, shape, lam_span):
+        key = (shape, lam_span)
+        prog = self._compiled.get(key)
+        if prog is None:
+            prog = jax.jit(lambda y0: self.trace(y0, lam_span))
+            self._compiled[key] = prog
+        return prog
+
+    def __call__(self, x, v, lam_span, constrain: bool = True):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        v = jnp.atleast_2d(jnp.asarray(v))
+        x, v = jnp.broadcast_arrays(x, v)
+        if constrain:
+            y0 = self._constrain(x, v)
+        else:
+            y0 = jnp.concatenate([x, v], axis=-1)
+        lam_span = (float(lam_span[0]), float(lam_span[1]))
+        gp, aux = self._program(y0.shape, lam_span)(y0)
+        self.last_tile_iters = aux["tile_iters"]
+        self.last_steps = aux["steps"]
+        return gp
