@@ -75,11 +75,11 @@ def main():
     if backend == "pallas":
         from gradus_tpu.integrate.pallas_solver import PallasTracer
 
-        block = int(os.environ.get("BENCH_BLOCK", "32"))
+        block = int(os.environ.get("BENCH_BLOCK", "64"))
         tracer = PallasTracer(
             m,
             geometry=d,
-            tile_rows=int(os.environ.get("BENCH_TILE_ROWS", "8")),
+            tile_rows=int(os.environ.get("BENCH_TILE_ROWS", "32")),
             steps_per_check=int(os.environ.get("BENCH_SPC", "8")),
         )
         perm, inv = block_permutation(side, side, block)

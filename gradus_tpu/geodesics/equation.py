@@ -56,20 +56,13 @@ def metric_jacobian(m: AbstractMetric, r, theta):
 
 def metric_jacobian5(m: AbstractMetric, r, theta):
     """Component-tuple form of `metric_jacobian`: three 5-tuples of arrays
-    (values, ∂_r, ∂_θ). Pallas-kernel friendly — no stacked minor axis."""
+    (values, ∂_r, ∂_θ). Pallas-kernel friendly — no stacked minor axis.
+    Dispatches to the metric's (possibly hand-derived) `components5_jac`."""
     dtype = jnp.result_type(r, theta, float)
     r = jnp.asarray(r, dtype)
     theta = jnp.asarray(theta, dtype)
     r, theta = jnp.broadcast_arrays(r, theta)
-
-    def f(rth):
-        return m.components5(rth[0], rth[1])
-
-    ones = jnp.ones_like(r)
-    zeros = jnp.zeros_like(r)
-    g, dg_dr = jax.jvp(f, ((r, theta),), ((ones, zeros),))
-    _, dg_dtheta = jax.jvp(f, ((r, theta),), ((zeros, ones),))
-    return g, dg_dr, dg_dtheta
+    return m.components5_jac(r, theta)
 
 
 def geodesic_equation(m: AbstractMetric, x, v):

@@ -180,14 +180,12 @@ def _make_kernel(
     def kernel(
         y0_ref,
         y_ref,
+        k1_ref,
         lam_ref,
+        dt_ref,
         status_ref,
         steps_ref,
         failed_ref,
-        hy_ref,
-        hk_ref,
-        hdt_ref,
-        hlam_ref,
         hth_ref,
         iters_ref,
     ):
@@ -209,7 +207,9 @@ def _make_kernel(
 
         status = jnp.full(shape, StatusCodes.NoStatus, jnp.int32)
         steps = jnp.zeros(shape, jnp.int32)
-        qold = jnp.full(shape, _QOLD_INIT, dtype)
+        # the PI controller carries ln(qold): turns the 3 pow() per step
+        # (= 3 log + 3 exp) into 1 log + 2 exp
+        ln_qold = jnp.full(shape, float(np.log(_QOLD_INIT)), dtype)
         zero = jnp.zeros(shape, dtype)
         if use_cubic:
             c_prev, dc_prev = crossing_jvp(y[0:4], k1[0:4])
@@ -219,34 +219,31 @@ def _make_kernel(
         else:
             c_prev = zero
             dc_prev = zero
-        hit_y = y
-        hit_k = k1
-        hit_dt = zero
-        hit_lam = lam
         hit_th = zero
 
+        # NOTE the slim carry: there are no hit_y/hit_k/hit_dt/hit_lam slots.
+        # A validated hit does NOT commit its step, so at loop exit the hit
+        # ray's (y, k1, lam, dt) are exactly the step-start quantities the
+        # post-loop Newton polish needs — 18 fewer carried blocks and their
+        # per-step masked selects than the naive bookkeeping.
         carry0 = (
             y,
             k1,
             lam,
             dt0,
-            qold,
+            ln_qold,
             status,
             alive,
             steps,
             failed,
             c_prev,
             dc_prev,
-            hit_y,
-            hit_k,
-            hit_dt,
-            hit_lam,
             hit_th,
             jnp.int32(0),
         )
 
         def cond(c):
-            return jnp.any(c[6] > 0) & (c[16] < max_steps)
+            return jnp.any(c[6] > 0) & (c[-1] < max_steps)
 
         def body(c):
             (
@@ -254,17 +251,13 @@ def _make_kernel(
                 k1,
                 lam,
                 dt,
-                qold,
+                ln_qold,
                 status,
                 alive_i,
                 steps,
                 failed_i,
                 c_prev,
                 dc_prev,
-                hit_y,
-                hit_k,
-                hit_dt,
-                hit_lam,
                 hit_th,
                 iters,
             ) = c
@@ -281,15 +274,20 @@ def _make_kernel(
             err = jnp.where(step_ok, err, 2.0)
             accept = (err <= 1.0) & alive
 
-            # PI controller (same constants as solver.py)
-            q = (err**_BETA1) / (qold**_BETA2) / _GAMMA
+            # PI controller (same constants as solver.py, log-space powers)
+            ln_err = jnp.log(err)
+            q = jnp.exp(_BETA1 * ln_err - _BETA2 * ln_qold) / _GAMMA
             fac_acc = 1.0 / jnp.clip(q, 1.0 / _QMAX_FACTOR, 1.0 / _QMIN_FACTOR)
-            fac_rej = 1.0 / jnp.clip((err**0.2) / _GAMMA, 1.0, 1.0 / _QMIN_FACTOR)
+            fac_rej = 1.0 / jnp.clip(
+                jnp.exp(0.2 * ln_err) / _GAMMA, 1.0, 1.0 / _QMIN_FACTOR
+            )
             dt_next = jnp.where(accept, dt_eff * fac_acc, dt_eff * fac_rej)
             failed = failed | (
                 alive & ~step_ok & ((dt_next < dt_min) | ~jnp.isfinite(dt_next))
             )
-            qold_new = jnp.where(accept, jnp.maximum(err, _QOLD_INIT), qold)
+            ln_qold_new = jnp.where(
+                accept, jnp.maximum(ln_err, float(np.log(_QOLD_INIT))), ln_qold
+            )
             lam_new = lam + dt_eff
 
             # --- geometry event: sign change on the position interpolant ----
@@ -362,51 +360,44 @@ def _make_kernel(
             outer = accept & ~hit_now & (r_new > r_outer)
             finished = accept & (lam_new >= lam1 - 1e-12)
 
-            sel = accept
-            y_out = tuple(jnp.where(sel, y_new[i], y[i]) for i in range(S))
-            lam_out = jnp.where(accept, lam_new, lam)
-            k1_out = tuple(jnp.where(sel, k7[i], k1[i]) for i in range(S))
-
             status = jnp.where(inner, StatusCodes.WithinInnerBoundary, status)
             status = jnp.where(outer, StatusCodes.OutOfDomain, status)
             if terminate_on_hit:
+                # hit rays do NOT commit: (y, k1, lam) stay at step start and
+                # dt records the step span, feeding the post-loop polish
+                sel = accept & ~hit_now
                 status = jnp.where(
                     hit_now, StatusCodes.IntersectedWithGeometry, status
                 )
                 dead = hit_now | inner | outer | finished | failed
+                dt_out = jnp.where(hit_now, dt_eff, dt_next)
             else:
+                sel = accept
+                dead = inner | outer | finished | failed
+                dt_out = dt_next
+            y_out = tuple(jnp.where(sel, y_new[i], y[i]) for i in range(S))
+            if not terminate_on_hit:
                 y_out = y_out[:-1] + (
                     jnp.where(hit_now, y_out[-1] + 1.0, y_out[-1]),
                 )
-                dead = inner | outer | finished | failed
+            lam_out = jnp.where(sel, lam_new, lam)
+            k1_out = tuple(jnp.where(sel, k7[i], k1[i]) for i in range(S))
             alive_out = alive & ~dead
 
-            hit_y = tuple(
-                jnp.where(hit_now, y[i], hit_y[i]) for i in range(S)
-            )
-            hit_k = tuple(
-                jnp.where(hit_now, k1[i], hit_k[i]) for i in range(S)
-            )
-            hit_dt = jnp.where(hit_now, dt_eff, hit_dt)
-            hit_lam = jnp.where(hit_now, lam, hit_lam)
             hit_th = jnp.where(hit_now, th_c, hit_th)
 
             return (
                 y_out,
                 k1_out,
                 lam_out,
-                dt_next,
-                qold_new,
+                dt_out,
+                ln_qold_new,
                 status,
                 alive_out.astype(jnp.int32),
                 steps + accept.astype(jnp.int32),
                 failed.astype(jnp.int32),
                 c_prev_new,
                 dc_prev_new,
-                hit_y,
-                hit_k,
-                hit_dt,
-                hit_lam,
                 hit_th,
                 iters + 1,
             )
@@ -420,19 +411,17 @@ def _make_kernel(
 
         for i in range(S):
             y_ref[i] = cf[0][i]
-            hy_ref[i] = cf[11][i]
-            hk_ref[i] = cf[12][i]
+            k1_ref[i] = cf[1][i]
         lam_ref[...] = cf[2]
+        dt_ref[...] = cf[3]
         status_ref[...] = cf[5]
         steps_ref[...] = cf[7]
         failed_ref[...] = cf[8]
-        hdt_ref[...] = cf[13]
-        hlam_ref[...] = cf[14]
-        hth_ref[...] = cf[15]
+        hth_ref[...] = cf[11]
         # observability: loop iterations this tile actually executed (every ray
         # in the tile occupies a lane for all of them) — lets callers compute
         # executed lane-steps vs useful per-ray steps without host round trips
-        iters_ref[...] = jnp.full(cf[7].shape, cf[16], jnp.int32)
+        iters_ref[...] = jnp.full(cf[7].shape, cf[12], jnp.int32)
 
     return kernel
 
@@ -511,28 +500,24 @@ def pallas_integrate_rays(
         grid=(n_tiles,),
         in_specs=[blk_s],
         out_specs=(
-            blk_s,  # y
-            blk_1,  # lam
+            blk_s,  # y   (for hit rays: hit-step START state — see kernel note)
+            blk_s,  # k1  (for hit rays: RHS at the hit-step start)
+            blk_1,  # lam (for hit rays: λ at the hit-step start)
+            blk_1,  # dt  (for hit rays: the hit step's span dt_eff)
             blk_1,  # status
             blk_1,  # steps
             blk_1,  # failed
-            blk_s,  # hit_y
-            blk_s,  # hit_k
-            blk_1,  # hit_dt
-            blk_1,  # hit_lam
             blk_1,  # hit_theta
             blk_1,  # tile iters
         ),
         out_shape=(
             shaped(True),
-            shaped(False),
-            shaped(False, jnp.int32),
-            shaped(False, jnp.int32),
-            shaped(False, jnp.int32),
-            shaped(True),
             shaped(True),
             shaped(False),
             shaped(False),
+            shaped(False, jnp.int32),
+            shaped(False, jnp.int32),
+            shaped(False, jnp.int32),
             shaped(False),
             shaped(False, jnp.int32),
         ),
@@ -551,19 +536,22 @@ def pallas_integrate_rays(
             return jnp.transpose(a, (0, 2, 3, 1)).reshape(Npad, S)[:N]
         return a.reshape(Npad)[:N]
 
-    (y_f, lam_f, status, steps, failed, hy, hk, hdt, hlam, hth, titers) = map(
+    (y_f, k1_f, lam_f, dt_f, status, steps, failed, hth, titers) = map(
         untile, outs
     )
+    # hit rays exit the kernel UNcommitted (y/k1/lam at the hit-step start, dt
+    # = the step span), so the polish inputs alias the main outputs — the slim
+    # carry eliminated the dedicated hit_* bookkeeping
     return dict(
         y=y_f,
         lam=lam_f,
         status=status,
         steps=steps,
         failed=failed.astype(bool),
-        hit_y=hy,
-        hit_k=hk,
-        hit_dt=hdt,
-        hit_lam=hlam,
+        hit_y=y_f,
+        hit_k=k1_f,
+        hit_dt=dt_f,
+        hit_lam=lam_f,
         hit_theta=hth,
         tile_iters=titers,
     )

@@ -58,6 +58,17 @@ class AbstractMetric:
         g = self.components(r, theta)
         return tuple(g[..., i] for i in range(5))
 
+    def components5_jac(self, r, theta):
+        """Value + (∂_r, ∂_θ) of the 5 components: three 5-tuples of arrays.
+
+        This is the hot call of the geodesic RHS (7 evaluations per adaptive
+        step). The default is two forward-mode passes through ``components5``
+        (the reference's ForwardDiff dual evaluation, auto-diff.jl:206-211);
+        hot metrics (Kerr) override with hand-derived closed forms, which cuts
+        the Pallas integrator's per-step op count by ~20%. Overrides are
+        parity-tested against this AD fallback in tests/test_metrics.py."""
+        return _ad_components5_jac(self, r, theta)
+
     def inner_radius(self):  # pragma: no cover - interface
         raise NotImplementedError
 
@@ -84,6 +95,23 @@ class AbstractMetric:
         """A_μ(r, θ); zero unless the metric is charged (Kerr-Newman)."""
         z = jnp.zeros(4, dtype=jnp.result_type(r, theta, float))
         return z
+
+
+def _ad_components5_jac(m, r, theta):
+    """Generic value + (∂_r, ∂_θ) of ``components5`` via two jvp passes."""
+    dtype = jnp.result_type(r, theta, float)
+    r = jnp.asarray(r, dtype)
+    theta = jnp.asarray(theta, dtype)
+    r, theta = jnp.broadcast_arrays(r, theta)
+
+    def f(rth):
+        return m.components5(rth[0], rth[1])
+
+    ones = jnp.ones_like(r)
+    zeros = jnp.zeros_like(r)
+    g, dg_dr = jax.jvp(f, ((r, theta),), ((ones, zeros),))
+    _, dg_dtheta = jax.jvp(f, ((r, theta),), ((zeros, ones),))
+    return g, dg_dr, dg_dtheta
 
 
 def unpack_rtheta(x):

@@ -113,3 +113,22 @@ def test_kerr_newman_potential():
     sigma = 16.0 + (0.5 * np.cos(1.0)) ** 2
     assert np.isclose(float(A[0]), 4.0 * 0.3 / sigma)
     assert np.isclose(float(A[3]), -4.0 * 0.3 / sigma * 0.5 * np.sin(1.0) ** 2)
+
+
+@pytest.mark.parametrize("m", ALL_METRICS, ids=lambda m: type(m).__name__)
+def test_components5_jac_matches_ad(m):
+    """Hand-derived metric Jacobians (Kerr override) must match the generic
+    two-jvp AD fallback to near machine precision; for metrics without an
+    override this pins the fallback itself."""
+    from gradus_tpu.metrics.base import _ad_components5_jac
+
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.uniform(2.5, 900.0, 32))
+    th = jnp.asarray(rng.uniform(0.05, np.pi - 0.05, 32))
+    analytic = m.components5_jac(r, th)
+    ad = _ad_components5_jac(m, r, th)
+    for tup_a, tup_b in zip(analytic, ad):
+        for a_, b_ in zip(tup_a, tup_b):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=5e-12, atol=1e-12
+            )
