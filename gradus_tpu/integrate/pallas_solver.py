@@ -169,6 +169,7 @@ def _make_kernel(
     terminate_on_hit: bool,
     steps_per_check: int = 8,
     event_method: str = "cubic",
+    resume: bool = False,
 ):
     have_geometry = crossing_cm is not None
     use_cubic = have_geometry and event_method == "cubic"
@@ -177,49 +178,94 @@ def _make_kernel(
     def crossing_jvp(pos4, vel4):
         return jax.jvp(lambda p: crossing_cm(*p), (pos4,), (vel4,))
 
-    def kernel(
-        y0_ref,
-        y_ref,
-        k1_ref,
-        lam_ref,
-        dt_ref,
-        status_ref,
-        steps_ref,
-        failed_ref,
-        hth_ref,
-        iters_ref,
-    ):
+    def kernel(*refs):
+        if resume:
+            # segmented restart: the full integrator carry arrives as inputs
+            (
+                y0_ref,
+                k1_in_ref,
+                lam_in_ref,
+                dt_in_ref,
+                lnq_in_ref,
+                status_in_ref,
+                steps_in_ref,
+                failed_in_ref,
+                cprev_in_ref,
+                dcprev_in_ref,
+                hth_in_ref,
+            ) = refs[:11]
+            out_refs = refs[11:]
+        else:
+            y0_ref = refs[0]
+            out_refs = refs[1:]
+        (
+            y_ref,
+            k1_ref,
+            lam_ref,
+            dt_ref,
+            lnq_ref,
+            status_ref,
+            steps_ref,
+            failed_ref,
+            cprev_ref,
+            dcprev_ref,
+            hth_ref,
+            iters_ref,
+            attempts_ref,
+        ) = out_refs
+
         dtype = y0_ref.dtype
         y = tuple(y0_ref[i] for i in range(S))
         shape = y[0].shape
-
-        lam = jnp.full(shape, lam0, dtype)
-        dt0, k1 = _initial_dt_cm(f_cm, y, abstol, reltol)
-        dt0 = jnp.minimum(dt0, lam1 - lam)
-
-        finite0 = jnp.isfinite(dt0)
-        for i in range(S):
-            finite0 &= jnp.isfinite(y[i]) & jnp.isfinite(k1[i])
-        # Mosaic cannot carry i1 vectors through the while loop — masks ride
-        # as int32 0/1 and are re-boolified at the top of the body.
-        alive = finite0.astype(jnp.int32)
-        failed = (~finite0).astype(jnp.int32)
-
-        status = jnp.full(shape, StatusCodes.NoStatus, jnp.int32)
-        steps = jnp.zeros(shape, jnp.int32)
-        # the PI controller carries ln(qold): turns the 3 pow() per step
-        # (= 3 log + 3 exp) into 1 log + 2 exp
-        ln_qold = jnp.full(shape, float(np.log(_QOLD_INIT)), dtype)
         zero = jnp.zeros(shape, dtype)
-        if use_cubic:
-            c_prev, dc_prev = crossing_jvp(y[0:4], k1[0:4])
-        elif have_geometry:
-            c_prev = crossing_cm(y[0], y[1], y[2], y[3])
-            dc_prev = zero
+
+        if resume:
+            k1 = tuple(k1_in_ref[i] for i in range(S))
+            lam = lam_in_ref[...]
+            dt0 = dt_in_ref[...]
+            ln_qold = lnq_in_ref[...]
+            status = status_in_ref[...]
+            steps = steps_in_ref[...]
+            failed = failed_in_ref[...]
+            c_prev = cprev_in_ref[...]
+            dc_prev = dcprev_in_ref[...]
+            hit_th = hth_in_ref[...]
+            attempts = jnp.zeros(shape, jnp.int32)
+            # only rays still mid-flight continue (finished / terminated /
+            # failed / padding rows all stay inert)
+            alive = (
+                (status == StatusCodes.NoStatus)
+                & (failed == 0)
+                & (lam < lam1 - 1e-12)
+            ).astype(jnp.int32)
         else:
-            c_prev = zero
-            dc_prev = zero
-        hit_th = zero
+            lam = jnp.full(shape, lam0, dtype)
+            dt0, k1 = _initial_dt_cm(f_cm, y, abstol, reltol)
+            dt0 = jnp.minimum(dt0, lam1 - lam)
+
+            finite0 = jnp.isfinite(dt0)
+            for i in range(S):
+                finite0 &= jnp.isfinite(y[i]) & jnp.isfinite(k1[i])
+            # Mosaic cannot carry i1 vectors through the while loop — masks
+            # ride as int32 0/1 and are re-boolified at the top of the body.
+            alive = finite0.astype(jnp.int32)
+            failed = (~finite0).astype(jnp.int32)
+
+            status = jnp.full(shape, StatusCodes.NoStatus, jnp.int32)
+            steps = jnp.zeros(shape, jnp.int32)
+            # the PI controller carries ln(qold): turns the 3 pow() per step
+            # (= 3 log + 3 exp) into 1 log + 2 exp
+            ln_qold = jnp.full(shape, float(np.log(_QOLD_INIT)), dtype)
+            if use_cubic:
+                c_prev, dc_prev = crossing_jvp(y[0:4], k1[0:4])
+            elif have_geometry:
+                c_prev = crossing_cm(y[0], y[1], y[2], y[3])
+                dc_prev = zero
+            else:
+                c_prev = zero
+                dc_prev = zero
+            hit_th = zero
+            attempts = jnp.zeros(shape, jnp.int32)
 
         # NOTE the slim carry: there are no hit_y/hit_k/hit_dt/hit_lam slots.
         # A validated hit does NOT commit its step, so at loop exit the hit
@@ -239,6 +285,7 @@ def _make_kernel(
             c_prev,
             dc_prev,
             hit_th,
+            attempts,
             jnp.int32(0),
         )
 
@@ -259,6 +306,7 @@ def _make_kernel(
                 c_prev,
                 dc_prev,
                 hit_th,
+                attempts,
                 iters,
             ) = c
             alive = alive_i > 0
@@ -399,6 +447,7 @@ def _make_kernel(
                 c_prev_new,
                 dc_prev_new,
                 hit_th,
+                attempts + alive.astype(jnp.int32),
                 iters + 1,
             )
 
@@ -414,16 +463,37 @@ def _make_kernel(
             k1_ref[i] = cf[1][i]
         lam_ref[...] = cf[2]
         dt_ref[...] = cf[3]
+        lnq_ref[...] = cf[4]
         status_ref[...] = cf[5]
         steps_ref[...] = cf[7]
         failed_ref[...] = cf[8]
+        cprev_ref[...] = cf[9]
+        dcprev_ref[...] = cf[10]
         hth_ref[...] = cf[11]
         # observability: loop iterations this tile actually executed (every ray
-        # in the tile occupies a lane for all of them) — lets callers compute
-        # executed lane-steps vs useful per-ray steps without host round trips
-        iters_ref[...] = jnp.full(cf[7].shape, cf[12], jnp.int32)
+        # in the tile occupies a lane for all of them) vs the iterations each
+        # ray was still alive for ("attempts" = accepted + rejected steps) —
+        # callers decompose executed lane-steps into scheduling waste (dead
+        # lanes) and adaptive-control rejects without host round trips
+        attempts_ref[...] = cf[12]
+        iters_ref[...] = jnp.full(cf[7].shape, cf[13], jnp.int32)
 
     return kernel
+
+
+# raw integrator state fields, in kernel input/output order after y
+_STATE_KEYS = (
+    "k1",
+    "lam",
+    "dt",
+    "ln_qold",
+    "status",
+    "steps",
+    "failed",
+    "c_prev",
+    "dc_prev",
+    "hit_theta",
+)
 
 
 def pallas_integrate_rays(
@@ -446,6 +516,8 @@ def pallas_integrate_rays(
     steps_per_check: int = 8,
     event_method: str = "cubic",
     interpret: bool | None = None,
+    iter_cap: int | None = None,
+    state: dict | None = None,
 ):
     """Integrate a (N, S) ray batch with the tile-resident Pallas kernel.
 
@@ -453,6 +525,11 @@ def pallas_integrate_rays(
     4 position blocks). ``lam_span``, chart bounds and tolerances are static
     python floats (one compile per configuration). Returns the raw per-ray
     outputs; hit polishing is done by the caller (`PallasTracer`).
+
+    Segmented execution: pass ``iter_cap`` to stop each tile after that many
+    loop iterations, and feed the returned dict back via ``state`` (gathered /
+    re-ordered however the caller likes) to resume exactly where the capped
+    pass stopped — the tail-compaction scheme in `PallasTracer.trace`.
     """
     y0 = jnp.asarray(y0)
     N, S = y0.shape
@@ -466,6 +543,7 @@ def pallas_integrate_rays(
     Npad = n_tiles * T
 
     lam0, lam1 = float(lam_span[0]), float(lam_span[1])
+    resume = state is not None
 
     kernel = _make_kernel(
         S,
@@ -478,13 +556,14 @@ def pallas_integrate_rays(
         r_outer=float(r_outer),
         lam0=lam0,
         lam1=lam1,
-        max_steps=max_steps,
+        max_steps=max_steps if iter_cap is None else int(iter_cap),
         n_interp=n_interp,
         dt_min=dt_min,
         bisect_iters=bisect_iters,
         terminate_on_hit=terminate_on_hit,
         steps_per_check=steps_per_check,
         event_method=event_method,
+        resume=resume,
     )
 
     blk_s = pl.BlockSpec((None, S, R, _LANES), lambda i: (i, 0, 0, 0))
@@ -495,30 +574,41 @@ def pallas_integrate_rays(
             return jax.ShapeDtypeStruct((n_tiles, S, R, _LANES), dt)
         return jax.ShapeDtypeStruct((n_tiles, R, _LANES), dt)
 
+    state_specs = [blk_s] + [blk_1] * 9  # k1 then the 9 per-ray scalars
+    in_specs = [blk_s] + (state_specs if resume else [])
+
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[blk_s],
+        in_specs=in_specs,
         out_specs=(
             blk_s,  # y   (for hit rays: hit-step START state — see kernel note)
             blk_s,  # k1  (for hit rays: RHS at the hit-step start)
             blk_1,  # lam (for hit rays: λ at the hit-step start)
             blk_1,  # dt  (for hit rays: the hit step's span dt_eff)
+            blk_1,  # ln_qold
             blk_1,  # status
             blk_1,  # steps
             blk_1,  # failed
+            blk_1,  # c_prev
+            blk_1,  # dc_prev
             blk_1,  # hit_theta
             blk_1,  # tile iters
+            blk_1,  # attempts
         ),
         out_shape=(
             shaped(True),
             shaped(True),
             shaped(False),
             shaped(False),
+            shaped(False),
             shaped(False, jnp.int32),
             shaped(False, jnp.int32),
             shaped(False, jnp.int32),
             shaped(False),
+            shaped(False),
+            shaped(False),
+            shaped(False, jnp.int32),
             shaped(False, jnp.int32),
         ),
         interpret=interpret,
@@ -526,34 +616,64 @@ def pallas_integrate_rays(
 
     # (N, S) -> (n_tiles, S, R, 128); pad rays with NaN (flagged failed/dead
     # in the kernel's finiteness screen, so they never cost loop iterations)
-    ypad = jnp.full((Npad, S), jnp.nan, dtype).at[:N].set(y0)
-    ytiles = jnp.transpose(ypad.reshape(n_tiles, R, _LANES, S), (0, 3, 1, 2))
+    def tile_s(a, fill):
+        pad = jnp.full((Npad, S), fill, a.dtype).at[:N].set(a)
+        return jnp.transpose(pad.reshape(n_tiles, R, _LANES, S), (0, 3, 1, 2))
 
-    outs = call(ytiles)
+    def tile_1(a, fill):
+        pad = jnp.full((Npad,), fill, a.dtype).at[:N].set(a)
+        return pad.reshape(n_tiles, R, _LANES)
+
+    ins = [tile_s(y0, jnp.nan)]
+    if resume:
+        ins.append(tile_s(state["k1"], jnp.nan))
+        # padding rows resume as already-finished (λ ≥ λ1) so they stay inert
+        fills = dict(
+            lam=lam1,
+            dt=1.0,
+            ln_qold=0.0,
+            status=StatusCodes.NoStatus,
+            steps=0,
+            failed=0,
+            c_prev=0.0,
+            dc_prev=0.0,
+            hit_theta=0.0,
+        )
+        for k in _STATE_KEYS[1:]:
+            ins.append(tile_1(state[k], fills[k]))
+
+    outs = call(*ins)
 
     def untile(a):
         if a.ndim == 4:  # (n_tiles, S, R, 128) -> (N, S)
             return jnp.transpose(a, (0, 2, 3, 1)).reshape(Npad, S)[:N]
         return a.reshape(Npad)[:N]
 
-    (y_f, k1_f, lam_f, dt_f, status, steps, failed, hth, titers) = map(
-        untile, outs
-    )
+    (
+        y_f, k1_f, lam_f, dt_f, lnq, status, steps, failed, cprev, dcprev,
+        hth, titers, attempts,
+    ) = map(untile, outs)
     # hit rays exit the kernel UNcommitted (y/k1/lam at the hit-step start, dt
     # = the step span), so the polish inputs alias the main outputs — the slim
     # carry eliminated the dedicated hit_* bookkeeping
     return dict(
         y=y_f,
+        k1=k1_f,
         lam=lam_f,
+        dt=dt_f,
+        ln_qold=lnq,
         status=status,
         steps=steps,
-        failed=failed.astype(bool),
+        failed=failed,
+        c_prev=cprev,
+        dc_prev=dcprev,
+        hit_theta=hth,
+        tile_iters=titers,
+        attempts=attempts,
         hit_y=y_f,
         hit_k=k1_f,
         hit_dt=dt_f,
         hit_lam=lam_f,
-        hit_theta=hth,
-        tile_iters=titers,
     )
 
 
@@ -587,6 +707,9 @@ class PallasTracer:
         tile_rows: int = 8,
         steps_per_check: int = 8,
         event_method: str = "cubic",
+        segment_iters: int | None = None,
+        tail_bucket: int = 16384,
+        tail_tile_rows: int = 8,
         dtype=None,
         interpret: bool | None = None,
     ):
@@ -629,6 +752,9 @@ class PallasTracer:
         self.tile_rows = tile_rows
         self.steps_per_check = steps_per_check
         self.event_method = event_method
+        self.segment_iters = segment_iters
+        self.tail_bucket = tail_bucket
+        self.tail_tile_rows = tail_tile_rows
         self.interpret = interpret
 
         def f_cm(ys):
@@ -679,7 +805,7 @@ class PallasTracer:
                 lam0=jnp.broadcast_to(jnp.asarray(lam0, y0.dtype), y0.shape[:-1]),
                 status=out["status"],
                 steps=out["steps"],
-                failed=out["failed"],
+                failed=out["failed"].astype(bool),
             )
             return unpack_solution(res)
 
@@ -691,19 +817,8 @@ class PallasTracer:
         self._compiled = {}
         self.last_tile_iters = None
 
-    def trace(self, y0, lam_span):
-        """Traceable (jit-composable) trace of a constrained (N, S) batch.
-
-        Returns ``(GeodesicPoint, aux)`` where aux carries per-ray
-        observability arrays (``tile_iters``: the kernel-loop iterations the
-        ray's tile executed; ``steps``: the ray's accepted step count). Compose
-        this under one outer `jax.jit` with camera permutations / shading to
-        avoid per-call dispatch latency."""
-        lam0, lam1 = float(lam_span[0]), float(lam_span[1])
-        out = pallas_integrate_rays(
-            self._f_cm,
-            y0,
-            (lam0, lam1),
+    def _integrate_kwargs(self):
+        return dict(
             abstol=self.abstol,
             reltol=self.reltol,
             r_inner=self.r_inner,
@@ -713,13 +828,102 @@ class PallasTracer:
             max_steps=self.max_steps,
             n_interp=self.n_interp,
             bisect_iters=self.bisect_iters,
-            tile_rows=self.tile_rows,
             steps_per_check=self.steps_per_check,
             event_method=self.event_method,
             interpret=self.interpret,
         )
+
+    def trace(self, y0, lam_span):
+        """Traceable (jit-composable) trace of a constrained (N, S) batch.
+
+        Returns ``(GeodesicPoint, aux)`` where aux carries per-ray
+        observability arrays (``tile_iters``: the kernel-loop iterations the
+        ray's tile executed; ``steps``: the ray's accepted step count;
+        ``unfinished``: rays still mid-flight at exit — 0 unless a pathological
+        workload overflows ``tail_bucket`` or ``max_steps``). Compose this
+        under one outer `jax.jit` with camera permutations / shading to avoid
+        per-call dispatch latency.
+
+        When ``segment_iters`` is set and the batch is larger than
+        ``tail_bucket``, integration is two kernel passes: a full-width pass
+        capped at ``segment_iters`` loop iterations (big tiles, cheap
+        instruction issue), then the surviving tail — typically < 1% of rays,
+        the photon-ring cluster — is gathered into a ``tail_bucket``-wide
+        resume pass with small tiles, ordered by the estimated remaining step
+        count (λ1−λ)/dt so each tail tile is cost-coherent. This removes the
+        lockstep waste the reference avoids with dynamic thread scheduling
+        (tracing.jl:151-196) at the cost of one gather/scatter, with no host
+        round trips."""
+        lam0, lam1 = float(lam_span[0]), float(lam_span[1])
+        kw = self._integrate_kwargs()
+        N = y0.shape[0]
+
+        if self.segment_iters is None or N <= self.tail_bucket:
+            out = pallas_integrate_rays(
+                self._f_cm, y0, (lam0, lam1), tile_rows=self.tile_rows, **kw
+            )
+        else:
+            st1 = pallas_integrate_rays(
+                self._f_cm,
+                y0,
+                (lam0, lam1),
+                tile_rows=self.tile_rows,
+                iter_cap=self.segment_iters,
+                **kw,
+            )
+            alive = (
+                (st1["status"] == StatusCodes.NoStatus)
+                & (st1["failed"] == 0)
+                & (st1["lam"] < lam1 - 1e-12)
+            )
+            # O(N) survivor compaction (a full argsort costs ~15 ms at 1M rays
+            # — more than the lane-steps it saves): scatter each survivor's ray
+            # index to its cumsum slot. Unfilled/overflow slots point at ray N:
+            # gathers clip to ray N-1 (a duplicate — integrated twice, written
+            # back once) and scatters drop out-of-range updates.
+            K = self.tail_bucket
+            dest = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            dest = jnp.where(alive & (dest < K), dest, K)
+            idx = (
+                jnp.full((K + 1,), N, jnp.int32)
+                .at[dest]
+                .set(jnp.arange(N, dtype=jnp.int32), mode="drop")[:K]
+            )
+            # order the K-sized tail by estimated remaining steps (λ1−λ)/dt,
+            # descending, so pass-2 tiles have coherent costs — a K-sized sort
+            est = (lam1 - st1["lam"]) / jnp.maximum(st1["dt"], 1e-30)
+            key = jnp.where(alive, -est, jnp.inf)
+            idx = idx[jnp.argsort(key[jnp.minimum(idx, N - 1)])]
+            sub_state = {k: st1[k][idx] for k in _STATE_KEYS}
+            st2 = pallas_integrate_rays(
+                self._f_cm,
+                st1["y"][idx],
+                (lam0, lam1),
+                tile_rows=self.tail_tile_rows,
+                state=sub_state,
+                **kw,
+            )
+            out = {
+                k: st1[k].at[idx].set(st2[k]) for k in ("y",) + _STATE_KEYS
+            }
+            out["tile_iters"] = st1["tile_iters"].at[idx].add(st2["tile_iters"])
+            out["attempts"] = st1["attempts"].at[idx].add(st2["attempts"])
+            out.update(
+                hit_y=out["y"], hit_k=out["k1"], hit_dt=out["dt"], hit_lam=out["lam"]
+            )
+
+        unfinished = jnp.sum(
+            (out["status"] == StatusCodes.NoStatus)
+            & (out["failed"] == 0)
+            & (out["lam"] < lam1 - 1e-12)
+        )
         gp = self._finish(out, y0, lam0)
-        aux = {"tile_iters": out["tile_iters"], "steps": out["steps"]}
+        aux = {
+            "tile_iters": out["tile_iters"],
+            "steps": out["steps"],
+            "attempts": out["attempts"],
+            "unfinished": unfinished,
+        }
         return gp, aux
 
     def _program(self, shape, lam_span):

@@ -64,3 +64,49 @@ def test_pallas_no_geometry_chart_bounds(kerr_disc_setup):
     assert np.allclose(
         np.asarray(gp_ref.x)[ok, 1], np.asarray(gp_pal.x)[ok, 1], rtol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_pallas_segmented_matches_single_pass(kerr_disc_setup):
+    """Tail-segmented execution (capped pass 1 + sorted resume pass 2) must be
+    bit-compatible with the single-pass kernel: the resume path restores the
+    exact integrator carry, so statuses and endpoints are identical."""
+    m, d, xs, v = kerr_disc_setup
+    pt1 = PallasTracer(m, geometry=d, interpret=True)
+    gp1 = pt1(xs, v, (0.0, 2200.0))
+    # tiny cap + small bucket forces several rays through the resume path
+    pt2 = PallasTracer(
+        m,
+        geometry=d,
+        interpret=True,
+        segment_iters=48,
+        tail_bucket=128,
+        tail_tile_rows=8,
+    )
+    gp2 = pt2(xs, v, (0.0, 2200.0))
+    assert (np.asarray(gp1.status) == np.asarray(gp2.status)).all()
+    np.testing.assert_allclose(
+        np.asarray(gp1.x), np.asarray(gp2.x), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp1.lam_max), np.asarray(gp2.lam_max), rtol=0, atol=0
+    )
+
+
+@pytest.mark.slow
+def test_pallas_unfinished_counter(kerr_disc_setup):
+    """An undersized tail bucket must be *detected*, not silent: rays that
+    never resumed stay NoStatus and are counted in aux["unfinished"]."""
+    import jax
+
+    m, d, xs, v = kerr_disc_setup
+    pt = PallasTracer(
+        m, geometry=d, interpret=True, segment_iters=24, tail_bucket=8
+    )
+    y0 = pt._constrain(xs, v)
+    _, aux = jax.jit(lambda y: pt.trace(y, (0.0, 2200.0)))(y0)
+    assert int(aux["unfinished"]) > 0
+
+    ok = PallasTracer(m, geometry=d, interpret=True)
+    _, aux_ok = jax.jit(lambda y: ok.trace(y, (0.0, 2200.0)))(y0)
+    assert int(aux_ok["unfinished"]) == 0
