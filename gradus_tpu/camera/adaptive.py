@@ -87,7 +87,11 @@ class AdaptiveGrid2D:
         nan_i = ~np.isfinite(v)
         for depth in np.unique(self.depth):
             sel = np.nonzero(self.depth == depth)[0]
-            r = 1.5 * (self.w[sel[0]] + self.h[sel[0]])
+            # shrink slightly: query_ball_point uses a CLOSED ball while the
+            # brute-force reference uses strict d² < r², and on uniform grids
+            # the 3-cells-away centre sits exactly at r — float rounding must
+            # not decide neighbourhood (ADVICE r2)
+            r = 1.5 * (self.w[sel[0]] + self.h[sel[0]]) * (1.0 - 1e-9)
             pairs = tree.query_ball_point(pts[sel], r, workers=-1)
             # flatten the ragged neighbour lists once
             counts = np.fromiter((len(p) for p in pairs), int, len(pairs))
@@ -131,20 +135,25 @@ class AdaptiveGrid2D:
         the SAME class (finite vs NaN), smoothing values without bleeding
         across the hit/miss (shadow or disc-edge) boundary, which is the
         reference's intersect-aware interpolation semantics."""
-        x0, x1 = self.cx.min() - self.w.max() / 2, self.cx.max() + self.w.max() / 2
+        # raster bounds from the ACTUAL cell extents (w.max() on border cells
+        # would inflate the margin when borders are refined — ADVICE r2)
+        x0, x1 = (self.cx - self.w / 2).min(), (self.cx + self.w / 2).max()
         xs = np.linspace(x0, x1, nx + 1)
-        y0, y1 = self.cy.min() - self.h.max() / 2, self.cy.max() + self.h.max() / 2
+        y0, y1 = (self.cy - self.h / 2).min(), (self.cy + self.h / 2).max()
         ys = np.linspace(y0, y1, ny + 1)
         out = np.full((nx, ny), np.nan)
         order = np.argsort(self.depth, kind="stable")
-        ix0 = np.searchsorted(xs, self.cx - self.w / 2, side="left")
+        # first pixel whose cell-interval contains it: side='right' − 1 keeps
+        # a cell edge coinciding exactly with a raster edge from bleeding one
+        # pixel across the boundary (ADVICE r2)
+        ix0 = np.searchsorted(xs, self.cx - self.w / 2, side="right") - 1
         ix1 = np.searchsorted(xs, self.cx + self.w / 2, side="left")
-        iy0 = np.searchsorted(ys, self.cy - self.h / 2, side="left")
+        iy0 = np.searchsorted(ys, self.cy - self.h / 2, side="right") - 1
         iy1 = np.searchsorted(ys, self.cy + self.h / 2, side="left")
         for i in order:
             out[
-                max(ix0[i] - 1, 0) : min(ix1[i], nx),
-                max(iy0[i] - 1, 0) : min(iy1[i], ny),
+                max(ix0[i], 0) : min(ix1[i], nx),
+                max(iy0[i], 0) : min(iy1[i], ny),
             ] = self.values[i]
         if blend:
             finite = np.isfinite(out)

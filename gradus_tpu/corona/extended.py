@@ -360,7 +360,10 @@ def ring_corona_profile(
 
     All (β slice, local angle) pairs trace in one batch; per slice the hits
     split into two monotonic arms and each arm becomes a time-dependent
-    emissivity branch."""
+    emissivity branch. ``vf`` (jit-static) overrides the model's source
+    velocity function ('co_rotating' / 'stationary')."""
+    if vf is not None:
+        model = dataclasses.replace(model, vf=vf)
     x, v_src = model.sample_position_velocity(m)
     if betas is None:
         betas = default_beta_angles(n_beta, x.dtype)
@@ -454,7 +457,7 @@ def disc_corona_profile(
     radii = jnp.linspace(1e-2, model.r, n_rings, dtype=dtype)
 
     def one_ring(rc):
-        ring = RingCorona(r=rc, h=model.h, vf=model.vf)
+        ring = RingCorona(r=rc, h=model.h, vf=vf if vf is not None else model.vf)
         return ring_corona_profile(
             m,
             d,

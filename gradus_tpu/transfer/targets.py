@@ -80,10 +80,35 @@ def _closest_approach_impl(m, x0, alphas, betas, target, lam_max, n_save, mu, ch
     mask = k < nsteps[..., None]
     dd = jnp.where(mask, dd, jnp.inf)
     i_min = jnp.argmin(dd, axis=-1)
-    dist = jnp.take_along_axis(dd, i_min[..., None], axis=-1)[..., 0]
+    # parabolic refinement over the three samples bracketing the minimum:
+    # removes the O(trajectory-spacing) quantization of both the reported
+    # accuracy and the closest-approach time (ADVICE r2; the reference's
+    # continuous distance callback terminates exactly at the approach point)
+    n_samp = pts.shape[-2]
+    i_c = jnp.clip(i_min, 1, n_samp - 2)
+
+    def take(a, i):
+        return jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+
+    dm, d0, dp = take(dd, i_c - 1), take(dd, i_c), take(dd, i_c + 1)
+    tm, t0, tp = (
+        take(pts[..., 0], i_c - 1),
+        take(pts[..., 0], i_c),
+        take(pts[..., 0], i_c + 1),
+    )
+    denom = dm - 2.0 * d0 + dp
+    interior = (i_min == i_c) & jnp.isfinite(dm) & jnp.isfinite(dp) & (
+        jnp.abs(denom) > 1e-30
+    )
+    delta = jnp.where(interior, 0.5 * (dm - dp) / jnp.where(interior, denom, 1.0), 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    dist = d0 - 0.25 * (dm - dp) * delta
+    t_ref = t0 + 0.5 * delta * (tp - tm) + 0.5 * delta * delta * (tp - 2.0 * t0 + tm)
+    # fall back to the raw sample when the bracket is invalid (endpoint min)
+    dist = jnp.where(interior, dist, take(dd, i_min))
     # coordinate time at the closest-approach point — the quantity the
     # reference's distance-callback termination delivers as gp.x[1]
-    t_closest = jnp.take_along_axis(pts[..., 0], i_min[..., None], axis=-1)[..., 0]
+    t_closest = jnp.where(interior, t_ref, take(pts[..., 0], i_min))
     return dist, t_closest, gp
 
 

@@ -19,6 +19,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache (VERDICT r2 next #4): the integrator while_loop
+# compiles in ~20-60 s on this 2-core box and module-scoped fixtures recompile
+# it per file; with the cache, repeat compilations deserialize in ~1 s. The
+# cache directory is shared with bench.py (entries are keyed by platform).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
