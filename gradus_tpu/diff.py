@@ -44,10 +44,14 @@ def fwd_adjoint(f):
         return f(params, *args)
 
     def g_fwd(params, *args):
-        out = f(params, *args)
-        # out-structure outer, params-structure inner: each jac leaf is
-        # shaped (out_leaf_shape..., param_leaf_shape...)
-        jac = jax.jacfwd(lambda p: f(p, *args))(params)
+        # one evaluation: jacfwd(has_aux) returns the primal as aux alongside
+        # the Jacobian (out-structure outer, params-structure inner: each jac
+        # leaf is shaped (out_leaf_shape..., param_leaf_shape...))
+        def fun(p):
+            y = f(p, *args)
+            return y, y
+
+        jac, out = jax.jacfwd(fun, has_aux=True)(params)
         return out, (jac, params, args)
 
     def g_bwd(res, ybar):

@@ -9,6 +9,14 @@ from gradus_tpu.geometry.discs import (
     EllipticalDisc,
     PrecessingDisc,
     PolishDoughnut,
+    PolishDoughnutFW,
+    polish_doughnut_fw,
     CompositeGeometry,
     datumplane,
+)
+from gradus_tpu.geometry.polygons import (
+    polygon_area,
+    polygon_barycenter,
+    orientation,
+    in_polygon,
 )

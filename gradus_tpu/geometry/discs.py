@@ -14,6 +14,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gradus_tpu.utils.linalg import equatorial_project, spinaxis_project
 
@@ -27,6 +28,8 @@ __all__ = [
     "EllipticalDisc",
     "PrecessingDisc",
     "PolishDoughnut",
+    "PolishDoughnutFW",
+    "polish_doughnut_fw",
     "CompositeGeometry",
     "datumplane",
 ]
@@ -187,6 +190,43 @@ class AbstractThickAccretionDisc(AbstractAccretionGeometry):
 
     def is_hit(self, x4, gtol=1e-2):
         return self.cross_section(equatorial_project(x4)) > 0.0
+
+    def xz_parameterize(self, rho):
+        """(ρ, h(ρ)) surface curve in the poloidal plane (reference
+        `xz_parameterize`, thick-disc.jl:54)."""
+        return jnp.stack(
+            jnp.broadcast_arrays(rho, self.cross_section(rho)), axis=-1
+        )
+
+    def cartesian_tangent_vector(self, rho):
+        """Unit tangent of the surface in cartesian (x, y, z) at azimuth 0,
+        via forward-mode AD of the cross-section (reference
+        `_cartesian_tangent_vector`, thick-disc.jl:64-71)."""
+        rho = jnp.asarray(rho, jnp.result_type(rho, float))
+        _, grad = jax.jvp(self.xz_parameterize, (rho,), (jnp.ones_like(rho),))
+        v = jnp.stack(
+            [grad[..., 0], jnp.zeros_like(rho), grad[..., 1]], axis=-1
+        )
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    def cartesian_surface_normal(self, rho, phi=None):
+        """Outward unit surface normal: the tangent rotated 90° about φ̂,
+        optionally rotated to azimuth φ about the spin axis (reference
+        `_cartesian_surface_normal`, thick-disc.jl:73-82)."""
+        t = self.cartesian_tangent_vector(rho)
+        n = jnp.stack([-t[..., 2], t[..., 1], t[..., 0]], axis=-1)
+        if phi is None:
+            return n
+        phi = jnp.asarray(phi)
+        c, s = jnp.cos(phi), jnp.sin(phi)
+        return jnp.stack(
+            [
+                c * n[..., 0] - s * n[..., 1],
+                s * n[..., 0] + c * n[..., 1],
+                n[..., 2],
+            ],
+            axis=-1,
+        )
 
 
 @_geometry_dataclass(meta=("f",))
@@ -427,3 +467,123 @@ def datumplane(disc: AbstractThickAccretionDisc, rho):
     """Datum plane at the disc's cross-section height at ρ
     (reference datum-plane.jl:14-18)."""
     return DatumPlane(height=disc.cross_section(jnp.asarray(rho)))
+
+
+@_geometry_dataclass
+class PolishDoughnutFW(AbstractThickAccretionDisc):
+    """Fuerst & Wu (2004, 2007) / Younsi et al. (2012) torus — the REFERENCE
+    parameterization (rₖ, n) of `src/geometry/discs/polish-doughnut.jl:1-124`,
+    alongside the constant-ℓ `PolishDoughnut` family above.
+
+    The angular-velocity ansatz Ω(ρ) = Ω_circ(ρ)·(rₖ/ρ)ⁿ defines isobar
+    surfaces solved as an ODE in the poloidal plane (Younsi eqs. 30-31); the
+    innermost radius is the dE/dr = 0 marginal-stability point of the
+    modified orbits. Construct with `polish_doughnut_fw(m, r_k, n)`; the
+    precomputed isobar (r, z) curve is carried as pytree leaves and the
+    cross-section is its NaN-free linear interpolant."""
+
+    rs: Any = None  # (K,) isobar radii, sorted ascending
+    zs: Any = None  # (K,) isobar heights
+    r_k: float = 12.0
+    n: float = 0.21
+
+    def cross_section(self, rho):
+        h = jnp.interp(rho, self.rs, self.zs)
+        inside = (rho >= self.rs[0]) & (rho <= self.rs[-1])
+        return jnp.where(inside, h, 0.0)
+
+    def inner_radius(self):
+        return self.rs[0]
+
+    def outer_radius(self):
+        return self.rs[-1]
+
+
+def polish_doughnut_fw(
+    m,
+    r_k: float = 12.0,
+    n: float = 0.21,
+    *,
+    init_r: float = 5.0,
+    lam_max: float = 40.0,
+    dt: float = 5e-2,
+    newton_iters: int = 40,
+) -> PolishDoughnutFW:
+    """Construct the Fuerst-Wu (rₖ, n) doughnut for a Kerr metric (reference
+    `PolishDoughnut` constructor + `__PolishDoughnut` module,
+    polish-doughnut.jl:1-124): innermost radius via Newton on dE/dr = 0, then
+    the isobar curve by a fixed-step RK4 `lax.scan` of the Younsi (2012)
+    eq. 30-31 differential, terminated (masked) where z < 0."""
+    from gradus_tpu.orbits import CircularOrbits
+
+    if not hasattr(m, "a"):
+        raise ValueError(
+            "the Fuerst-Wu isobar differential is Kerr-specific "
+            "(reference isobar_differential, polish-doughnut.jl:39-51)"
+        )
+
+    def Omega(rho):
+        return CircularOrbits.Omega(m, (rho, jnp.pi / 2)) * (r_k / rho) ** n
+
+    def orbital_energy(r):
+        # reference `orbital_energy` (polish-doughnut.jl:21-28)
+        Om = Omega(r)
+        g = m.components(r, jnp.pi / 2)
+        return -(g[..., 0] + g[..., 4] * Om) / jnp.sqrt(
+            -g[..., 0] - 2 * g[..., 4] * Om - g[..., 3] * Om**2
+        )
+
+    dE = jax.grad(orbital_energy)
+    d2E = jax.grad(dE)
+
+    r_in = jnp.asarray(float(init_r))
+    for _ in range(newton_iters):
+        r_in = r_in - dE(r_in) / d2E(r_in)
+    r_in = float(r_in)
+
+    M, a = m.M, m.a
+
+    def isobar_rhs(u):
+        # Younsi et al. (2012) eqs. 30-31 (reference Ψ₁/Ψ₂ + differential)
+        r, th = u[0], u[1]
+        sigma = r * r + a * a * jnp.cos(th) ** 2
+        delta = r * r + a * a - 2.0 * M * r
+        rho = r * jnp.sin(th)
+        inv_om = 1.0 / Omega(rho)
+        psi1 = (
+            M * ((sigma - 2 * r * r) / sigma**2) * (inv_om - a * jnp.sin(th)) ** 2
+            + r * jnp.sin(th) ** 2
+        )
+        psi2 = jnp.sin(2 * th) * (
+            (M * r / sigma**2) * (a * inv_om - (r * r + a * a)) ** 2 + delta / 2
+        )
+        d = 1.0 / (jnp.sqrt(delta * psi1**2 + psi2**2) * jnp.sqrt(sigma / delta))
+        return jnp.stack([psi2 * d, -psi1 * d])
+
+    n_steps = int(lam_max / dt)
+
+    def rk4(u, _):
+        k1 = isobar_rhs(u)
+        k2 = isobar_rhs(u + 0.5 * dt * k1)
+        k3 = isobar_rhs(u + 0.5 * dt * k2)
+        k4 = isobar_rhs(u + dt * (k3))
+        u_new = u + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return u_new, u_new
+
+    u0 = jnp.asarray([r_in, jnp.pi / 2])
+    _, us = jax.lax.scan(rk4, u0, None, length=n_steps)
+    us = jnp.concatenate([u0[None], us], axis=0)
+    r = np.asarray(us[:, 0])
+    z = np.asarray(np.cos(us[:, 1]) * r)
+    # keep the upper branch up to the first z < 0 crossing (reference
+    # DiscreteCallback termination)
+    neg = np.nonzero(z < 0)[0]
+    stop = neg[0] if neg.size else z.shape[0]
+    r, z = r[:stop], z[:stop]
+    order = np.argsort(r)
+    r, z = r[order], z[order]
+    # deduplicate for a strictly increasing interpolation grid
+    keep = np.concatenate([[True], np.diff(r) > 1e-12])
+    return PolishDoughnutFW(
+        rs=jnp.asarray(r[keep]), zs=jnp.asarray(z[keep]), r_k=r_k, n=n
+    )

@@ -45,8 +45,12 @@ def cubic_first_crossing(c0, m0, c1, m1, bisect_iters: int = 26):
     A = 3.0 * a
     B = 2.0 * b
     disc = B * B - 4.0 * A * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     real = disc >= 0.0
+    # double-where: sqrt must never SEE a clamped-to-zero operand, or its
+    # infinite slope turns the zero cotangent of the untaken branch into NaN
+    # in reverse mode (0 × ∞)
+    sq = jnp.sqrt(jnp.where(real, jnp.maximum(disc, 0.0), 1.0))
+    sq = jnp.where(real, sq, 0.0)
     tiny = jnp.abs(A) < 1e-30 * (1.0 + jnp.abs(B))
     safe_A = jnp.where(tiny, 1.0, A)
     r1 = (-B - sq) / (2.0 * safe_A)

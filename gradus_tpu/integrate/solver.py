@@ -47,7 +47,12 @@ from jax import lax
 from gradus_tpu.integrate.status import StatusCodes
 from gradus_tpu.integrate.tsit5 import tsit5_step, hermite_interp, initial_dt
 
-__all__ = ["integrate_rays", "IntegrationResult", "CompactedIntegrator"]
+__all__ = [
+    "integrate_rays",
+    "integrate_rays_checkpointed",
+    "IntegrationResult",
+    "CompactedIntegrator",
+]
 
 # PI step-size controller constants (standard Gustafsson / OrdinaryDiffEq-style)
 _GAMMA = 0.9
@@ -495,6 +500,111 @@ def integrate_rays(
         failed=cf["failed"],
         traj=cf.get("traj"),
         traj_lam=cf.get("traj_lam"),
+    )
+
+
+def integrate_rays_checkpointed(
+    f: Callable,
+    y0,
+    lam_span,
+    *,
+    abstol: float,
+    reltol: float,
+    r_inner,
+    r_outer,
+    crossing_fn: Callable | None = None,
+    hit_fn: Callable | None = None,
+    terminate_fns: tuple = (),
+    n_segments: int = 64,
+    seg_steps: int = 32,
+    n_interp: int = 8,
+    dt_min: float = 1e-10,
+    bisect_iters: int = 10,
+    newton_iters: int = 3,
+    terminate_on_hit: bool = True,
+    event_method: str = "cubic",
+) -> IntegrationResult:
+    """Reverse-differentiable variant of `integrate_rays`.
+
+    The adaptive `lax.while_loop` is replaced by a bounded
+    ``scan(n_segments) ∘ checkpoint ∘ fori_loop(seg_steps)`` ladder: reverse
+    mode stores one carry per segment and rematerializes the steps inside a
+    segment during the backward sweep (one-level treeverse). Loop bodies,
+    event localization and the Newton hit-polish are identical to the
+    forward-mode path (same `_make_body`/`_polish_hits`), so primals match
+    `integrate_rays` exactly whenever ``n_segments·seg_steps`` covers the
+    trajectory; segments whose rays are all finished are skipped via
+    `lax.cond`, recovering the early exit.
+
+    This is the many-parameter adjoint path (VERDICT r2 #5): `jax.grad` flows
+    through in O(1) integrations regardless of parameter count — use it when
+    ≳ 10 parameters enter the traced dynamics (neural/spline disc surfaces,
+    many-coefficient deformed metrics). For ≲ 10 parameters the forward
+    Jacobian wrapper (`gradus_tpu.diff.fwd_adjoint`) is cheaper.
+
+    Reference analogue: none — Gradus is forward-mode only
+    (`precision-solvers.jl:73-131`); this extends the BASELINE gradient
+    north-star to many-parameter fitting heads.
+    """
+    y0 = jnp.asarray(y0)
+
+    # Reverse-mode NaN guard: trial steps can probe inside the horizon where
+    # the metric is singular (Δ → 0); the forward path just rejects those
+    # steps, but their non-finite linearization residuals poison cotangents
+    # (0 × NaN) in the backward sweep. Clamping r a hair above the chart's
+    # inner bound only alters states the integrator terminates anyway.
+    r_floor = jnp.asarray(r_inner) * 0.995
+    th_eps = 1e-6
+
+    def f_safe(y):
+        r_s = jnp.maximum(y[..., 1], r_floor)
+        th_s = jnp.clip(y[..., 2], th_eps, jnp.pi - th_eps)
+        y_s = y.at[..., 1].set(r_s).at[..., 2].set(th_s)
+        return f(y_s)
+
+    p = _Problem(
+        f=f_safe,
+        abstol=abstol,
+        reltol=reltol,
+        r_inner=r_inner,
+        r_outer=r_outer,
+        crossing_fn=crossing_fn,
+        hit_fn=hit_fn,
+        terminate_fns=terminate_fns,
+        max_steps=n_segments * seg_steps,
+        n_interp=n_interp,
+        dt_min=dt_min,
+        bisect_iters=bisect_iters,
+        newton_iters=newton_iters,
+        terminate_on_hit=terminate_on_hit,
+        n_save=0,
+        event_method=event_method,
+    )
+    carry0, lam0 = _init_carry(p, y0, lam_span)
+    body = _make_body(p, y0.dtype)
+
+    @jax.checkpoint
+    def segment(c):
+        return lax.fori_loop(0, seg_steps, lambda _, cc: body(cc), c)
+
+    def scan_step(c, _):
+        c = lax.cond(jnp.any(c["alive"]), segment, lambda cc: cc, c)
+        return c, None
+
+    cf, _ = lax.scan(scan_step, carry0, None, length=n_segments)
+
+    y_f, lam_f, status = cf["y"], cf["lam"], cf["status"]
+    if crossing_fn is not None and terminate_on_hit:
+        y_f, lam_f = _polish_hits(p, cf, y_f, lam_f)
+
+    return IntegrationResult(
+        y=y_f,
+        lam=lam_f,
+        y0=y0,
+        lam0=lam0,
+        status=status,
+        steps=cf["steps"],
+        failed=cf["failed"],
     )
 
 

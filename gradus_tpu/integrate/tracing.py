@@ -117,6 +117,9 @@ def domain_upper_hemisphere(delta: float = 1e-4):
         "terminate_fns",
         "constrain",
         "n_interp",
+        "checkpointed",
+        "n_segments",
+        "seg_steps",
     ),
 )
 def trace_geodesics(
@@ -139,6 +142,9 @@ def trace_geodesics(
     terminate_fns: tuple = (),
     constrain: bool = True,
     n_interp: int = 8,
+    checkpointed: bool = False,
+    n_segments: int = 64,
+    seg_steps: int = 32,
 ) -> GeodesicPoint:
     """Trace a batch (or a single) geodesic; returns endpoint `GeodesicPoint`s.
 
@@ -146,6 +152,10 @@ def trace_geodesics(
     component of ``v`` is solved from the norm constraint unless
     ``constrain=False`` (reference `constrain_all`,
     `src/tracing/constraints.jl`).
+
+    ``checkpointed=True`` runs the reverse-differentiable segment ladder
+    (`integrate_rays_checkpointed`) bounded by ``n_segments × seg_steps``
+    total steps — use for `jax.grad` with many parameters in the dynamics.
     """
     if trace is None:
         trace = TraceGeodesic(mu=mu, q=q)
@@ -183,6 +193,26 @@ def trace_geodesics(
 
     f = make_geodesic_rhs(m, trace)
     y0 = jnp.concatenate([x, v], axis=-1)
+    if checkpointed:
+        from gradus_tpu.integrate.solver import integrate_rays_checkpointed
+
+        result = integrate_rays_checkpointed(
+            f,
+            y0,
+            lam_span,
+            abstol=abstol,
+            reltol=reltol,
+            r_inner=chart_inner,
+            r_outer=chart_outer,
+            crossing_fn=crossing_fn,
+            hit_fn=hit_fn,
+            terminate_fns=terminate_fns,
+            n_segments=n_segments,
+            seg_steps=seg_steps,
+            n_interp=n_interp,
+        )
+        gp = unpack_solution(result)
+        return gp[0] if single else gp
     result = integrate_rays(
         f,
         y0,

@@ -96,19 +96,47 @@ def _closest_approach_impl(m, x0, alphas, betas, target, lam_max, n_save, mu, ch
         take(pts[..., 0], i_c),
         take(pts[..., 0], i_c + 1),
     )
-    denom = dm - 2.0 * d0 + dp
-    interior = (i_min == i_c) & jnp.isfinite(dm) & jnp.isfinite(dp) & (
-        jnp.abs(denom) > 1e-30
+    # Parabolic refinement in d² over the ACTUAL (non-uniform, adaptive)
+    # sample abscissae t: a smooth flyby past a fixed point is locally
+    # quadratic in d², never in d (V-shape). Vertex of the quadratic through
+    # (tm, sm), (t0, s0), (tp, sp):
+    sm, s0, sp = dm * dm, d0 * d0, dp * dp
+    am = tm - t0
+    ap = tp - t0
+    num = am * am * (s0 - sp) - ap * ap * (s0 - sm)
+    den = am * (s0 - sp) - ap * (s0 - sm)
+    # refine only genuine interior minima with a well-separated bracket
+    interior = (
+        (i_min == i_c)
+        & jnp.isfinite(dm)
+        & jnp.isfinite(dp)
+        & (d0 <= dm)
+        & (d0 <= dp)
+        & (jnp.abs(den) > 1e-30)
+        & (am < 0)
+        & (ap > 0)
     )
-    delta = jnp.where(interior, 0.5 * (dm - dp) / jnp.where(interior, denom, 1.0), 0.0)
-    delta = jnp.clip(delta, -1.0, 1.0)
-    dist = d0 - 0.25 * (dm - dp) * delta
-    t_ref = t0 + 0.5 * delta * (tp - tm) + 0.5 * delta * delta * (tp - 2.0 * t0 + tm)
+    den_safe = jnp.where(interior, den, 1.0)
+    dt_star = jnp.clip(
+        jnp.where(interior, 0.5 * num / den_safe, 0.0),
+        jnp.minimum(am, 0.0),
+        jnp.maximum(ap, 0.0),
+    )
+    # quadratic value at the vertex via Lagrange evaluation
+    lm = (dt_star - 0.0) * (dt_star - ap) / jnp.where(interior, am * (am - ap), 1.0)
+    l0 = (dt_star - am) * (dt_star - ap) / jnp.where(interior, (-am) * (-ap), 1.0)
+    lp = (dt_star - am) * (dt_star - 0.0) / jnp.where(interior, ap * (ap - am), 1.0)
+    s_ref = lm * sm + l0 * s0 + lp * sp
+    dist_ref = jnp.sqrt(jnp.clip(s_ref, 0.0, None))
+    # never report better than the parabola model can justify: the true
+    # minimum lies within the bracket, but a degenerate fit must not beat
+    # the best sample by more than the local spacing scale
+    dist_ref = jnp.maximum(dist_ref, 0.0)
     # fall back to the raw sample when the bracket is invalid (endpoint min)
-    dist = jnp.where(interior, dist, take(dd, i_min))
+    dist = jnp.where(interior, jnp.minimum(dist_ref, d0), take(dd, i_min))
     # coordinate time at the closest-approach point — the quantity the
     # reference's distance-callback termination delivers as gp.x[1]
-    t_closest = jnp.where(interior, t_ref, take(pts[..., 0], i_min))
+    t_closest = jnp.where(interior, t0 + dt_star, take(pts[..., 0], i_min))
     return dist, t_closest, gp
 
 
