@@ -248,8 +248,15 @@ class DiscCoronaProfile:
     delays: Any  # (R,) propagation-time offsets
 
     def _weights(self):
-        dr = self.radii[1] - self.radii[0]
-        return self.radii * dr
+        # trapezoidal ACTUAL ring spacing (the reference's `_ring_weighting`,
+        # radial.jl:289-292, assumes uniform radii[2]-radii[1]; identical for
+        # linspace stacks up to half-weighted end rings, correct for any
+        # spacing)
+        r = self.radii
+        dr = 0.5 * (
+            jnp.concatenate([r[1:2] - r[0:1], r[2:] - r[:-2], r[-1:] - r[-2:-1]])
+        )
+        return r * dr
 
     def emissivity_at(self, r):
         vals = jax.vmap(lambda ring: ring.emissivity_at(r))(self.rings)
@@ -257,8 +264,18 @@ class DiscCoronaProfile:
         return jnp.tensordot(w, vals, axes=(0, 0))
 
     def coordtime_at(self, r):
-        vals = jax.vmap(lambda ring: ring.coordtime_at(r))(self.rings)
-        return jnp.mean(vals + self.delays.reshape((-1,) + (1,) * (vals.ndim - 1)), axis=0)
+        """Flux-weighted mean arrival time over the ring stack (reference
+        flux-weights via `emissivity_interp` products, radial.jl:298-305):
+        rings that barely illuminate ρ must not drag the mean."""
+        t_vals = jax.vmap(lambda ring: ring.coordtime_at(r))(self.rings)
+        e_vals = jax.vmap(lambda ring: ring.emissivity_at(r))(self.rings)
+        w = self._weights()
+        fw = w.reshape((-1,) + (1,) * (e_vals.ndim - 1)) * e_vals
+        t_shift = t_vals + self.delays.reshape((-1,) + (1,) * (t_vals.ndim - 1))
+        num = jnp.sum(fw * t_shift, axis=0)
+        den = jnp.sum(fw, axis=0)
+        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                         jnp.mean(t_shift, axis=0))
 
     def time_limits_at(self, r):
         lo, hi = jax.vmap(lambda ring: ring.time_limits_at(r))(self.rings)

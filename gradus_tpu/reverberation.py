@@ -35,10 +35,16 @@ def continuum_time(m: AbstractMetric, x, model, rho_factor: float = 1e-3):
 
     x_src, _ = model.sample_position_velocity(m)
     if isinstance(model, (RingCorona, DiscCorona)):
-        from gradus_tpu.transfer.targets import optimize_for_target
+        from gradus_tpu.transfer.targets import optimize_for_target, refine_for_target
 
-        _, _, gp, _ = optimize_for_target(x_src[1:4], m, x)
-        return gp.x[0]
+        al, be, gp, _ = optimize_for_target(x_src[1:4], m, x)
+        # differentiable Gauss-Newton polish: tightens the pattern-search
+        # quantization and lets gradients flow to the corona parameters
+        # through the target position (VERDICT r2 next #9)
+        _, t_star, _ = refine_for_target(
+            x_src[1:4], m, x, jnp.stack([al, be]), iters=2
+        )
+        return t_star
     z_src = x_src[1] * jnp.cos(x_src[2])
     rho_src = jnp.maximum(x_src[1] * jnp.sin(x_src[2]), rho_factor * x_src[1])
     plane = DatumPlane(z_src)

@@ -32,6 +32,7 @@ from gradus_tpu.utils.linalg import spherical_to_cartesian
 
 __all__ = [
     "closest_approach",
+    "refine_for_target",
     "optimize_for_target",
     "impact_parameters_for_target",
     "is_visible",
@@ -191,6 +192,113 @@ def optimize_for_target(
         span = span * (2.0 / (n_grid - 1))
 
     return best
+
+
+def refine_for_target(
+    target,
+    m: AbstractMetric,
+    x0,
+    ab0,
+    *,
+    iters: int = 3,
+    lam_max: float | None = None,
+    n_save: int = 256,
+    mu: float = 0.0,
+    damping: float = 1e-10,
+):
+    """Differentiable polish of the image-plane (α, β) onto a target
+    3-position, starting from a pattern-search seed ``ab0``.
+
+    Two pieces (VERDICT r2 next #9):
+
+    - a Gauss-Newton loop on the softmin-smoothed 3D miss vector, whose (3×2)
+      Jacobian comes from forward-mode AD THROUGH the integrator (the
+      reference's dual-through-ODE trick, precision-solvers.jl:453-546);
+    - the returned arrival time carries a custom JVP implementing the exact
+      eikonal derivative ∂t*/∂p = −k_i/k_t (phase conservation along the null
+      ray, with k the photon 4-momentum at the approach point), so gradients
+      w.r.t. the target — and hence corona parameters (r, h) — are physical
+      and free of sample-quantization noise.
+
+    Returns ``(ab, t_closest, dist)``."""
+    x0 = jnp.asarray(x0)
+    target = jnp.asarray(target, x0.dtype)
+    if lam_max is None:
+        lam_max = 2.0 * float(x0[1])
+    chart_outer = 2.0 * float(x0[1])
+
+    def _trajectory(ab):
+        v = map_impact_parameters(m, x0, ab[0:1], ab[1:2])
+        xs = jnp.broadcast_to(x0, v.shape)
+        _, traj, _, nsteps = trace_geodesics_dense(
+            m, xs, v, (0.0, lam_max), mu=mu, n_save=n_save,
+            chart_outer=chart_outer,
+        )
+        return traj[0], nsteps[0]
+
+    def miss_vec(ab, tgt_cart_):
+        traj, nsteps = _trajectory(ab)
+        pts = traj[:, 0:4]
+        cart = spherical_to_cartesian(pts)
+        dd = jnp.sum((cart - tgt_cart_) ** 2, axis=-1)
+        k = jnp.arange(pts.shape[0])
+        dd = jnp.where(k < nsteps, dd, jnp.inf)
+        # softmin-weighted closest point: smooth in (α, β) between samples,
+        # so the Gauss-Newton Jacobian is well defined; the temperature floor
+        # keeps the weights finite-width even at near-exact hits
+        temp = jnp.min(dd) + (1e-3 * target[0]) ** 2
+        w = jax.nn.softmax(-dd / temp)
+        p_star = jnp.sum(w[:, None] * cart, axis=0)
+        mv = p_star - tgt_cart_
+        return mv, mv
+
+    # --- Gauss-Newton on a gradient-stopped target (the custom JVP below
+    # carries ALL the target sensitivity, exactly) -------------------------
+    tgt_sg = jax.lax.stop_gradient(target)
+    tgt_cart_sg = spherical_to_cartesian(tgt_sg)
+    ab = jnp.asarray(ab0, x0.dtype)
+    for _ in range(iters):
+        Jm, r_vec = jax.jacfwd(lambda a: miss_vec(a, tgt_cart_sg), has_aux=True)(ab)
+        JtJ = Jm.T @ Jm + damping * jnp.eye(2, dtype=x0.dtype)
+        step = jnp.linalg.solve(JtJ, Jm.T @ r_vec)
+        ab = ab - step
+    ab = jax.lax.stop_gradient(ab)
+
+    def _arrival_impl(tgt):
+        dist, t, _ = _closest_approach_impl(
+            m, x0, ab[0:1], ab[1:2], tgt, lam_max, n_save, mu, chart_outer
+        )
+        # photon 4-momentum (covariant) at the closest-approach sample
+        traj, nsteps = _trajectory(ab)
+        pts = traj[:, 0:4]
+        cart = spherical_to_cartesian(pts)
+        dd = jnp.sum((cart - spherical_to_cartesian(tgt)) ** 2, axis=-1)
+        ks = jnp.arange(pts.shape[0])
+        dd = jnp.where(ks < nsteps, dd, jnp.inf)
+        i = jnp.argmin(dd)
+        x_c = traj[i, 0:4]
+        k_up = traj[i, 4:8]
+        g = m.metric(x_c)
+        k_dn = g @ k_up
+        return t[0], dist[0], k_dn
+
+    @jax.custom_jvp
+    def _t_star(tgt):
+        t, _, _ = _arrival_impl(tgt)
+        return t
+
+    @_t_star.defjvp
+    def _t_star_jvp(primals, tangents):
+        (tgt,), (dtgt,) = primals, tangents
+        t, _, k_dn = _arrival_impl(tgt)
+        # phase conservation along the connecting null ray: k_μ δx^μ = 0 at
+        # the arrival event → δt* = −(k_r δr + k_θ δθ + k_φ δφ)/k_t
+        dt = -(k_dn[1] * dtgt[0] + k_dn[2] * dtgt[1] + k_dn[3] * dtgt[2]) / k_dn[0]
+        return t, dt
+
+    t_fin = _t_star(target)
+    _, d_fin, _ = _arrival_impl(jax.lax.stop_gradient(target))
+    return ab, t_fin, d_fin
 
 
 def impact_parameters_for_target(target, m: AbstractMetric, x0, **kwargs):

@@ -163,6 +163,7 @@ def test_is_visible(kerr_disc):
     assert not vis[1:].all()
 
 
+@pytest.mark.slow
 def test_timedep_lagtransfer(kerr_disc):
     """Time-dependent 2D lag transfer: normalized, causal, echo lag bounded by
     the profile's time support (reference ring.jl:857-950)."""
@@ -185,3 +186,114 @@ def test_timedep_lagtransfer(kerr_disc):
     lag = float((np.asarray(tbins) * psi).sum() / psi.sum())
     # echo arrives after the continuum but within the light-crossing budget
     assert 2.0 < lag < 120.0
+
+
+@pytest.mark.slow
+def test_disc_corona_lag_frequency_grows_with_radius(kerr_disc):
+    """End-to-end disc-corona reverberation (VERDICT r2 next #7):
+    emissivity profile → time-dependent lag transfer → τ(f). A radially
+    larger corona means longer source-to-disc light paths from its outer
+    rings, so the low-frequency lag must grow with the corona radius."""
+    from gradus_tpu.reverberation import _lag_frequency_fft
+
+    m, d = kerr_disc
+    x = jnp.array([0.0, 1000.0, np.deg2rad(45.0), 0.0])
+    radii = jnp.linspace(gt.isco(m) + 1e-2, 30.0, 5)
+    tfs = gt.transferfunctions(m, x, d, radii=radii, N=12, N_extrema=5, Ng=24)
+    bins = jnp.linspace(0.0, 1.5, 40)
+    tbins = jnp.linspace(0.0, 200.0, 128)
+
+    lags = {}
+    taus = {}
+    for rc in (2.0, 10.0):
+        prof = gt.emissivity_profile(
+            m, d, gt.DiscCorona(r=rc, h=4.0), n_rings=3, n_beta=4, n_angles=64
+        )
+        # propagation delays: the productized ring stack supports actual
+        # radial spacing weights + flux-weighted arrival times
+        prof = prof.with_propagation_velocity(lambda r: 2.0 * r)
+        flux = gt.integrate_lagtransfer_timedep(
+            prof, tfs, bins, tbins, t0=float(x[1]), n_radii=60, n_time=24
+        )
+        flux = np.asarray(flux)
+        assert np.isclose(np.nansum(flux), 1.0, rtol=1e-6)
+        psi = np.nansum(flux, axis=0)
+        lags[rc] = float((np.asarray(tbins) * psi).sum() / psi.sum())
+        freq, tau = _lag_frequency_fft(tbins, jnp.asarray(flux))
+        freq = np.asarray(freq)
+        tau = np.asarray(tau)
+        lo = (freq > 0) & (freq < 2e-3)
+        taus[rc] = float(np.nanmean(tau[lo]))
+
+    # mean echo lag and low-frequency FFT lag both grow with corona radius
+    assert lags[10.0] > lags[2.0] + 1.0
+    assert taus[10.0] > taus[2.0]
+    assert taus[2.0] > 0
+
+
+@pytest.mark.slow
+def test_ring_corona_n_beta_convergence(kerr_disc):
+    """Convergence in the β-slice count (VERDICT r2 next #8): the dense-fan
+    ring profile is converged at the default n_beta away from the source
+    ring — doubling/quadrupling n_beta moves ε(r) by < 1% for |r − r_ring| ≳
+    1.5 r_g. (Near-field radii straddling the ring itself converge slowly in
+    any fan discretization; the adaptive sky sampler, corona/adaptive.py,
+    covers that regime — see tests/test_corona_adaptive.py.)"""
+    from gradus_tpu.corona.extended import ring_corona_profile
+
+    m, d = kerr_disc
+    ring = gt.RingCorona(r=3.0, h=6.0)
+    rq = jnp.asarray([5.0, 8.0, 15.0, 30.0])
+    eps = {}
+    for nb in (10, 20, 40):
+        prof = ring_corona_profile(m, d, ring, n_beta=nb, n_angles=256)
+        eps[nb] = np.asarray(prof.emissivity_at(rq))
+    np.testing.assert_allclose(eps[20], eps[40], rtol=1e-2)
+    np.testing.assert_allclose(eps[10], eps[40], rtol=3e-2)
+
+
+@pytest.mark.slow
+def test_refine_for_target_differentiable(kerr_disc):
+    """Differentiable target polish (VERDICT r2 next #9): forward-mode
+    gradient of the off-axis continuum arrival time w.r.t. the corona
+    position (r, h) matches central finite differences."""
+    from gradus_tpu.transfer.targets import optimize_for_target, refine_for_target
+
+    m, _ = kerr_disc
+    x0 = jnp.array([0.0, 1000.0, np.deg2rad(45.0), 0.0])
+
+    def src_position(rh):
+        r_c, h = rh
+        R = jnp.sqrt(r_c**2 + h**2)
+        theta = jnp.arctan2(r_c, h)
+        return jnp.stack([R, theta, jnp.asarray(0.0, rh.dtype)])
+
+    rh0 = jnp.asarray([3.0, 6.0])
+    # concrete pattern-search seed (host loop, run once off the traced path)
+    al, be, _, acc = optimize_for_target(src_position(rh0), m, x0)
+    ab0 = jnp.asarray([float(al), float(be)])
+
+    def arrival_time(rh):
+        _, t_star, _ = refine_for_target(src_position(rh), m, x0, ab0, iters=3)
+        return t_star
+
+    t0 = float(arrival_time(rh0))
+    assert 950.0 < t0 < 1100.0
+
+    # the polish lands within the softmin model's bias floor (~sample spacing)
+    _, _, d_fin = refine_for_target(src_position(rh0), m, x0, ab0, iters=3)
+    assert float(d_fin) < 0.05
+
+    g = np.asarray(jax.jacfwd(arrival_time)(rh0))
+    assert np.isfinite(g).all()
+    # FD needs a step well above the saved-trajectory quantization noise of
+    # the primal (~0.01 t_g); the analytic eikonal derivative is exact
+    eps = 5e-2
+    for k in range(2):
+        u = np.zeros(2)
+        u[k] = eps
+        fd = (
+            float(arrival_time(rh0 + jnp.asarray(u)))
+            - float(arrival_time(rh0 - jnp.asarray(u)))
+        ) / (2 * eps)
+        np.testing.assert_allclose(g[k], fd, rtol=8e-2, atol=5e-3)

@@ -55,6 +55,7 @@ def test_sharded_trace_matches(kerr_setup):
     )
 
 
+@pytest.mark.slow
 def test_sharded_lineprofile_matches(kerr_setup):
     """psum-reduced flux histogram equals the single-program histogram."""
     m, x, d = kerr_setup
@@ -69,6 +70,7 @@ def test_sharded_lineprofile_matches(kerr_setup):
     assert np.isclose(np.asarray(flux_sh).sum(), 1.0, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_emissivity_matches(kerr_setup):
     """pmin/pmax bin agreement + psum photon counting equals single-program."""
     m, _, d = kerr_setup

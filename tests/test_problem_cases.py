@@ -31,7 +31,14 @@ def _assert_sane(grid):
     assert np.nanmax(np.abs(np.where(np.isfinite(f), f, 0.0))) < 1e4
 
 
-# the fast tier keeps one representative edge-on case; the rest are slow
+# fast-tier representative of the pathological corpus (near observer keeps it
+# cheap); the historical r_obs=1e5 cases are all slow-tier
+def test_problem_case_fast_representative():
+    """a=0.998, i=88°, rₑ just outside the extremal ISCO, r_obs=1000."""
+    _assert_sane(_ctf(0.998, 1000.0, 88.0, 1.2469706551751847))
+
+
+@pytest.mark.slow
 def test_problem_case_edge_on_extremal_spin_small_radius():
     """a=0.998, i=88°, rₑ=1.247 — emission just outside the extremal ISCO."""
     _assert_sane(_ctf(0.998, 100_000.0, 88.0, 1.2469706551751847))

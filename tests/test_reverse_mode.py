@@ -38,6 +38,7 @@ def _mean_redshift(params):
     return jnp.sum(jnp.where(hit > 0, g, 0.0)) / jnp.sum(hit)
 
 
+@pytest.mark.slow
 def test_grad_render_vjp_jvp_fd_agree():
     params = {"a": jnp.asarray(0.5), "incl": jnp.asarray(np.deg2rad(60.0))}
 
