@@ -24,6 +24,134 @@ import numpy as np
 
 BASELINE_RAYS_PER_S = 585_000 / 30.0  # reference anchor, M1 laptop
 
+# Product anchor (BASELINE.md row 1 / getting-started.md:455): BinningMethod
+# line profile over PolarPlane(GeometricGrid; Nr=1000, Nθ=1000, r_max=50),
+# "~30 seconds on a 2021 M1 Mac laptop".
+BASELINE_BINNING_S = 30.0
+
+
+def bench_binning():
+    """BinningMethod line profile end-to-end on the TPU (VERDICT r3 next #2a).
+
+    Reference config (docs getting-started.md §8): Kerr a=0.998, observer
+    (0, 1000, 70°, 0), ThinDisc(isco, 200), PolarPlane(GeometricGrid(),
+    Nr=1000, Nθ=1000, r_max=50), bins 0.1:1.4×200, λmax=2000, upper-hemisphere
+    domain. Traced against ThinDisc(0, ∞) — every equatorial crossing
+    terminates, which is exactly equivalent to disc + domain_upper_hemisphere
+    for binned flux (out-of-annulus crossings are filtered by the r-range
+    mask either way). Routed through the Pallas kernel with pilot-predicted
+    cost ordering; pilot + sort + trace + bin run in ONE jitted program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gradus_tpu.metrics import KerrMetric
+    from gradus_tpu.geometry import ThinDisc
+    from gradus_tpu.camera.impact import map_impact_parameters
+    from gradus_tpu.camera.planes import PolarPlane
+    from gradus_tpu.camera.grids import GeometricGrid
+    from gradus_tpu.integrate.pallas_solver import PallasTracer
+    from gradus_tpu.lineprofile import binned_flux
+    from gradus_tpu.redshift import redshift_pointfunction
+    from gradus_tpu.orbits.special_radii import isco as _isco
+
+    dtype = jnp.float32
+    Nr = int(os.environ.get("BENCH_NR", "1000"))
+    Nth = int(os.environ.get("BENCH_NTH", "1000"))
+    lam_max = 2000.0
+    m = KerrMetric(M=jnp.asarray(1.0, dtype), a=jnp.asarray(0.998, dtype))
+    d_trace = ThinDisc(inner_r=0.0, outer_r=np.inf)
+    x = jnp.asarray([0.0, 1000.0, np.deg2rad(70.0), 0.0], dtype)
+    min_re = float(_isco(m))
+    max_re = 200.0
+    bins = jnp.linspace(0.1, 1.4, 200, dtype=dtype)
+
+    plane = PolarPlane(GeometricGrid(), Nr=Nr, Ntheta=Nth, r_max=50.0)
+    alpha, beta = plane.impact_parameters()
+    alpha = jnp.asarray(alpha, dtype)
+    beta = jnp.asarray(beta, dtype)
+    areas = jnp.asarray(plane.unnormalized_areas(), dtype)
+    n = alpha.shape[0]
+    v = map_impact_parameters(m, x, alpha, beta)
+    xs = jnp.broadcast_to(x, v.shape)
+
+    pf = redshift_pointfunction(m, x)
+    tracer = PallasTracer(
+        m,
+        geometry=d_trace,
+        tile_rows=int(os.environ.get("BENCH_TILE_ROWS", "32")),
+        steps_per_check=int(os.environ.get("BENCH_SPC", "8")),
+    )
+    y0 = tracer._constrain(xs, v)
+
+    # pilot: decimated polar plane (Nr/8 × Nθ/8 = 1.6% of rays)
+    pilot_f = int(os.environ.get("BENCH_PILOT", "8"))
+    plane_p = PolarPlane(GeometricGrid(), Nr=Nr // pilot_f, Ntheta=Nth // pilot_f, r_max=50.0)
+    a_p, b_p = plane_p.impact_parameters()
+    v_p = map_impact_parameters(m, x, jnp.asarray(a_p, dtype), jnp.asarray(b_p, dtype))
+    y0_p = tracer._constrain(jnp.broadcast_to(x, v_p.shape), v_p)
+    pilot = PallasTracer(m, geometry=d_trace, tile_rows=8)
+    pr, pt = Nr // pilot_f, Nth // pilot_f
+
+    @jax.jit
+    def profile_program(y0, y0_p, areas, tok):
+        _, aux_p = pilot.trace(y0_p, (0.0, lam_max))
+        s = aux_p["steps"].reshape(pr, pt).astype(jnp.float32)
+        sp = jnp.pad(s, 1, mode="edge")
+        pooled = jnp.max(
+            jnp.stack(
+                [sp[i : i + pr, j : j + pt] for i in range(3) for j in range(3)]
+            ),
+            axis=0,
+        )
+        pred = jnp.repeat(jnp.repeat(pooled, pilot_f, 0), pilot_f, 1).ravel()[:n]
+        perm = jnp.argsort(-pred + 0.0 * tok)
+        gp, aux = tracer.trace(y0[perm], (0.0, lam_max))
+        flux = binned_flux(
+            m,
+            gp,
+            areas[perm],
+            lambda r: r**-3.0,
+            bins,
+            min_re=min_re,
+            max_re=max_re,
+            lam_max=lam_max,
+            redshift_pf=pf,
+        )
+        return flux, aux, jnp.sum(flux * flux)
+
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    tok = jnp.float32(0.0)
+    flux, aux, chk = profile_program(y0, y0_p, areas, tok)
+    float(jnp.asarray(chk))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flux, aux, chk = profile_program(y0, y0_p, areas, chk)
+    float(jnp.asarray(chk))
+    dt = (time.perf_counter() - t0) / reps
+
+    executed = int(np.asarray(jnp.sum(aux["tile_iters"])))
+    useful = int(np.asarray(jnp.sum(aux["steps"])))
+    details = {
+        "workload": "binning_lineprofile",
+        "rays": n,
+        "seconds_per_profile": round(dt, 4),
+        "rays_per_s": round(n / dt, 1),
+        "wasted_step_fraction": round(1.0 - useful / max(executed, 1), 4),
+        "flux_nonzero_bins": int(np.asarray(jnp.sum(flux > 0))),
+    }
+    print(json.dumps({"bench_details": details}), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "BinningMethod line profile, 1000x1000 polar plane, Kerr a=0.998",
+                "value": round(dt, 4),
+                "unit": "s/profile",
+                "vs_baseline": round(BASELINE_BINNING_S / dt, 1),
+            }
+        )
+    )
+
 
 def main():
     import jax
@@ -45,6 +173,10 @@ def main():
     from gradus_tpu.camera.impact import map_impact_parameters
     from gradus_tpu.camera.tiling import block_permutation
     from gradus_tpu.redshift import redshift_pointfunction
+
+    workload = os.environ.get("BENCH_WORKLOAD", "render")
+    if workload == "binning":
+        return bench_binning()
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     dtype = jnp.float32

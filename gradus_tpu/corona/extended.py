@@ -253,6 +253,9 @@ class DiscCoronaProfile:
         # linspace stacks up to half-weighted end rings, correct for any
         # spacing)
         r = self.radii
+        if r.shape[0] == 1:
+            # single-ring stack: no spacing information — unit area weight
+            return r
         dr = 0.5 * (
             jnp.concatenate([r[1:2] - r[0:1], r[2:] - r[:-2], r[-1:] - r[-2:-1]])
         )

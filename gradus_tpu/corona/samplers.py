@@ -32,18 +32,40 @@ class BothHemispheres:
 
 
 class EvenSampler:
-    """Golden-spiral (default) even sampling of the sky
-    (reference samplers.jl:8-15, 43-47)."""
+    """Even sampling of the sky (reference samplers.jl:8-15, 43-47).
 
-    def __init__(self, domain=None, generator: str = "golden"):
+    Generators (reference `GoldenSpiralGenerator`/`EvenGenerator`/
+    `RandomGenerator`, samplers.jl:4-6, 27-36):
+
+    - ``"golden"`` (default): golden-spiral, radial = π(1+√5)·i
+    - ``"even"``: radial = 2π·i/N
+    - ``"random"``: the index is replaced by a uniform draw in [0, N) —
+      the reference's `geti(RandomGenerator) = rand()·N`
+      (corona-models.jl:137). JAX-idiomatic: pass an explicit PRNG ``key``
+      (deterministic per key; defaults to key 0).
+    """
+
+    def __init__(self, domain=None, generator: str = "golden", key=None):
         self.domain = domain or LowerHemisphere()
         self.generator = generator
+        self.key = key
+
+    def _geti(self, i, N):
+        if self.generator == "random":
+            import jax
+
+            key = self.key if self.key is not None else jax.random.PRNGKey(0)
+            shape = jnp.shape(jnp.asarray(i))
+            return jax.random.uniform(key, shape, maxval=float(N))
+        return i
 
     def sample_angles(self, i, N):
+        i = self._geti(i, N)
         if self.generator == "golden":
             radial = np.pi * (1 + np.sqrt(5.0)) * i
-        else:
-            radial = 2 * jnp.pi * (i / N)
+        else:  # "even" and "random": radial 2π·i resp. 2π·i/N mod 2π — for
+            # random i both are uniform; follow the reference's even spacing
+            radial = 2 * jnp.pi * (i if self.generator == "random" else i / N)
         frac = i / N
         if isinstance(self.domain, LowerHemisphere):
             elev = jnp.arccos(1.0 - frac)
@@ -54,13 +76,21 @@ class EvenSampler:
 
 class WeierstrassSampler:
     """Radius-biased sampling concentrating rays toward the poles
-    (reference samplers.jl:16-25, 48-56)."""
+    (reference samplers.jl:16-25, 48-56). ``generator="random"`` replaces the
+    index with a uniform draw in [0, N) (reference `RandomGenerator`)."""
 
-    def __init__(self, res: float = 100.0, domain=None):
+    def __init__(self, res: float = 100.0, domain=None, generator: str = "golden", key=None):
         self.resolution = res
         self.domain = domain or LowerHemisphere()
+        self.generator = generator
+        self.key = key
 
     def sample_angles(self, i, N):
+        if self.generator == "random":
+            import jax
+
+            key = self.key if self.key is not None else jax.random.PRNGKey(0)
+            i = jax.random.uniform(key, jnp.shape(jnp.asarray(i)), maxval=float(N))
         radial = np.pi * (1 + np.sqrt(5.0)) * i
         phi = 2.0 * jnp.arctan(jnp.sqrt(self.resolution / i))
         if isinstance(self.domain, BothHemispheres):

@@ -580,6 +580,22 @@ def polish_doughnut_fw(
     neg = np.nonzero(z < 0)[0]
     stop = neg[0] if neg.size else z.shape[0]
     r, z = r[:stop], z[:stop]
+    # z(r) must be single-valued for the interpolant: truncate at the first
+    # radial turning point past the apex (an overhanging torus cross-section
+    # would otherwise interleave branches when sorted)
+    if r.size > 2:
+        apex = int(np.argmax(z))
+        turn = np.nonzero(np.diff(r[apex:]) < 0)[0]
+        if turn.size:
+            import warnings
+
+            warnings.warn(
+                "polish_doughnut_fw: overhanging (double-valued) isobar "
+                "cross-section; truncating at the radial turning point",
+                stacklevel=2,
+            )
+            r = r[: apex + turn[0] + 1]
+            z = z[: apex + turn[0] + 1]
     order = np.argsort(r)
     r, z = r[order], z[order]
     # deduplicate for a strictly increasing interpolation grid

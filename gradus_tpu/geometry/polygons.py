@@ -50,11 +50,10 @@ def in_polygon(poly, p):
     `inpolygon`, geometry.jl:86-95 — same convexity contract)."""
     poly = jnp.asarray(poly)
     p = jnp.asarray(p)
+    lead = p.shape[:-1]
+    pf = p.reshape(-1, 2)  # (N, 2) — any number of leading batch axes
     a = poly  # (V, 2) edge starts
     b = jnp.roll(poly, -1, axis=0)  # edge ends
-    sides = orientation(
-        a[:, None, :] if p.ndim > 1 else a,
-        b[:, None, :] if p.ndim > 1 else b,
-        p[None, ...] if p.ndim > 1 else p,
-    )  # (V, ...) per-edge side
-    return jnp.all(sides == sides[0], axis=0)
+    sides = orientation(a[:, None, :], b[:, None, :], pf[None, :, :])  # (V, N)
+    inside = jnp.all(sides == sides[0], axis=0)  # (N,)
+    return inside.reshape(lead)

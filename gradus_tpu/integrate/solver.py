@@ -552,7 +552,13 @@ def integrate_rays_checkpointed(
     # the metric is singular (Δ → 0); the forward path just rejects those
     # steps, but their non-finite linearization residuals poison cotangents
     # (0 × NaN) in the backward sweep. Clamping r a hair above the chart's
-    # inner bound only alters states the integrator terminates anyway.
+    # inner bound only alters states the integrator terminates anyway. The θ
+    # clamp (needed for the sin θ pole of the metric) DOES perturb primal
+    # dynamics for rays passing within 1e-6 rad of the pole: for those the
+    # primal deviates from `integrate_rays` at the clamp scale. Legitimate
+    # polar crossings stay well clear in practice (the RHS unwraps θ past the
+    # pole rather than grazing it); exact-pole shots are measure-zero camera
+    # configurations.
     r_floor = jnp.asarray(r_inner) * 0.995
     th_eps = 1e-6
 

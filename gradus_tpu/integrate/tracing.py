@@ -196,6 +196,12 @@ def trace_geodesics(
     if checkpointed:
         from gradus_tpu.integrate.solver import integrate_rays_checkpointed
 
+        if segment_fn is not None:
+            raise NotImplementedError(
+                "checkpointed=True does not support segment-based geometry "
+                "(MeshAccretionGeometry): the segment ladder has no per-step "
+                "segment test. Use checkpointed=False."
+            )
         result = integrate_rays_checkpointed(
             f,
             y0,

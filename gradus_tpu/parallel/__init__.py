@@ -4,5 +4,6 @@ from gradus_tpu.parallel.sharded import (
     sharded_render,
     sharded_lineprofile,
     sharded_emissivity,
+    sharded_pallas_trace,
     pad_to_multiple,
 )

@@ -29,6 +29,7 @@ __all__ = [
     "sharded_render",
     "sharded_lineprofile",
     "sharded_emissivity",
+    "sharded_pallas_trace",
     "pad_to_multiple",
 ]
 
@@ -66,6 +67,41 @@ def sharded_trace(m, x, v, lam_span, mesh=None, **trace_kwargs):
         out_specs=P("rays"),
     )(xp, vp)
     return jax.tree_util.tree_map(lambda a: a[:n], traced)
+
+
+def sharded_pallas_trace(tracer, y0, lam_span, mesh=None):
+    """The flagship Pallas kernel under the device mesh (VERDICT r3 next #4).
+
+    Each device runs the tile-resident kernel on its ray shard — the kernel
+    is already tile-local, so sharding composes trivially: `shard_map` splits
+    the ray axis, `pallas_call` tiles within the shard, and no collective is
+    needed until a downstream reduction. Returns the GeodesicPoint batch
+    (ray-sharded). Reference swap point:
+    `ext/GradusDiffEqGPUExt/GradusDiffEqGPUExt.jl:10-31`.
+
+    ``tracer``: a `PallasTracer` (interpret mode runs the same program on the
+    CPU test mesh).
+    """
+    if mesh is None:
+        mesh = ray_mesh()
+    ndev = mesh.devices.size
+    y0 = jnp.asarray(y0)
+    y0p, n = pad_to_multiple(y0, ndev)
+
+    def local(y0_loc):
+        gp, _aux = tracer.trace(y0_loc, lam_span)
+        return gp
+
+    gp = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("rays"),),
+        out_specs=P("rays"),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the kernel
+        # is purely shard-local so the vma check adds nothing here
+        check_vma=False,
+    )(y0p)
+    return jax.tree_util.tree_map(lambda a: a[:n], gp)
 
 
 def sharded_render(

@@ -141,6 +141,7 @@ def cunningham_transfer_function(
     Ng: int = 64,
     theta_offset: float = 0.3,
     h: float = 1e-6,
+    h_reg: float = 1e-4,
     h_resample: float = 1e-3,
     zero_atol: float = 1e-7,
     newton_iters: int = 30,
@@ -280,6 +281,37 @@ def cunningham_transfer_function(
         0.0,
         (1.0 / (jnp.pi * radii[:, None])) * g_all * root * Jstar,
     )
+
+    # --- near-extremal regularisation -------------------------------------
+    # f is a 0·∞-regularised product: within h_reg of either extremum the two
+    # factors are SEPARATELY noise-dominated — |det ∂(ρ,g)/∂(α,β)| crosses
+    # zero exactly at the extremum, so J = 1/|det| sits below its jvp noise
+    # floor while (1−g✶) sits below the g-field resolution — and their
+    # product is unbounded garbage (observed up to 1700× the smooth limit),
+    # even though the TRUE curve limits smoothly to the branch-merge value
+    # f*. Replace ill-zone samples with the nearest well-conditioned
+    # sample's f (the two branches merge at the extremum, so the limit is
+    # branch-independent). The exact-extremal samples keep f ≡ 0, matching
+    # the reference accumulator where √(g✶(1−g✶)) evaluates to exactly zero
+    # (`_cunningham_transfer_function!`, :326-331).
+    if h_reg > 0.0:
+        def _regularise(f_cur, ill, safe, toward):
+            have = jnp.any(safe, axis=1)[:, None]
+            cand = jnp.where(safe, gstar_all, -toward * jnp.inf)
+            pick = (
+                jnp.argmax(cand, axis=1)
+                if toward > 0
+                else jnp.argmin(cand, axis=1)
+            )
+            f_ref = jnp.take_along_axis(f_cur, pick[:, None], axis=1)
+            return jnp.where(ill & have, f_ref, f_cur)
+
+        safe_hi = ok_all & (gstar_all <= 1.0 - h_reg)
+        ill_hi = ok_all & (gstar_all > 1.0 - h_reg) & (gstar_all < 1.0)
+        f_all = _regularise(f_all, ill_hi, safe_hi, +1.0)
+        safe_lo = ok_all & (gstar_all >= h_reg)
+        ill_lo = ok_all & (gstar_all < h_reg) & (gstar_all > 0.0)
+        f_all = _regularise(f_all, ill_lo, safe_lo, -1.0)
 
     # --- sort by θ, split branches at the g✶ extrema ----------------------
     order = jnp.argsort(th_all, axis=1)

@@ -53,7 +53,12 @@ def _make_S_both(branches, gstar_axis, gmin, gmax):
 
     def S(gvals):
         gstar = (gvals - gmin[:, None]) / (gmax - gmin)[:, None]
-        gstar_c = jnp.clip(gstar, 1e-12, 1.0 - 1e-12)
+        # dtype-aware interior clip: a fixed 1-1e-12 upper bound rounds to
+        # exactly 1.0 in float32, sending 1/√(g✶(1−g✶)) to ∞ at the edge
+        # nodes (the round-3 f32 NaN-bin failure)
+        eps = jnp.finfo(gvals.dtype).eps
+        lo = jnp.maximum(jnp.asarray(1e-12, gvals.dtype), 4 * eps)
+        gstar_c = jnp.clip(gstar, lo, 1.0 - lo)
         fl = _branch_value(branches["lower_f"], gstar_axis, gstar_c)
         fu = _branch_value(branches["upper_f"], gstar_axis, gstar_c)
         f = jnp.nan_to_num(fl) + jnp.nan_to_num(fu)
@@ -147,6 +152,10 @@ def integrate_lineprofile(
     g_grid = jnp.asarray(g_grid)
     rmin = tfs.inner_radius() if rmin is None else rmin
     rmax = tfs.outer_radius() if rmax is None else rmax
+
+    # dtype-aware edge width: the f64 default h = 2e-8 is below float32's
+    # g✶ resolution, degenerating the analytic √-edge handling
+    h = max(h, 8.0 * float(jnp.finfo(g_grid.dtype).eps))
 
     r_fine = InverseGrid()(rmin, rmax, n_radii)
     dr = jnp.diff(r_fine, prepend=rmin - (r_fine[1] - rmin))

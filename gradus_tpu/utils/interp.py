@@ -13,7 +13,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["linear_interp", "nan_tolerant_interp", "make_interpolator"]
+__all__ = [
+    "linear_interp",
+    "nan_tolerant_interp",
+    "make_interpolator",
+    "enforce_interpolation_bounds",
+    "gaussian_kernel",
+    "constant_kernel",
+    "kernel_interpolate",
+]
 
 
 def linear_interp(xq, xs, ys):
@@ -72,3 +80,80 @@ def make_interpolator(xs, ys, nan_tolerant: bool = False):
     if nan_tolerant:
         return partial(nan_tolerant_interp, xs=xs, ys=ys)
     return partial(linear_interp, xs=xs, ys=ys)
+
+
+_bounds_warned = [False]
+
+
+def enforce_interpolation_bounds(r, r_min, r_max, warn: bool = True):
+    """Clamp queries to the interpolation domain; warn once (host-side) on
+    out-of-bounds concrete inputs (reference `_enforce_interpolation_bounds`,
+    `src/interpolations.jl:47-53`). Under jit the clamp applies silently."""
+    if warn and not _bounds_warned[0] and not isinstance(r, jax.core.Tracer):
+        import numpy as _np
+
+        rv = _np.asarray(r)
+        if (rv < r_min).any() or (rv > r_max).any():
+            import warnings
+
+            warnings.warn(
+                f"Interpolation out of bounds: query ∉ [{r_min}, {r_max}]. "
+                "Additional geodesic samples may be required (will not warn "
+                "again).",
+                stacklevel=2,
+            )
+            _bounds_warned[0] = True
+    return jnp.clip(r, r_min, r_max)
+
+
+def gaussian_kernel(kernel_size=(5, 5), sigma: float = 1.0, domain=(-5.0, 5.0)):
+    """Normalized 2D Gaussian stencil (reference `gaussian_kernel`,
+    `src/interpolations.jl:55-67`)."""
+    xi = jnp.linspace(domain[0], domain[1], kernel_size[0])
+    yj = jnp.linspace(domain[0], domain[1], kernel_size[1])
+    k = jnp.exp(-((xi[None, :] / sigma) ** 2 + (yj[:, None] / sigma) ** 2))
+    return k / jnp.sum(k)
+
+
+def constant_kernel(kernel_size=(5, 5)):
+    """Normalized box stencil (reference `constant_kernel`,
+    `src/interpolations.jl:69-73`)."""
+    k = jnp.ones(kernel_size)
+    return k / jnp.sum(k)
+
+
+def kernel_interpolate(data, kernel_size=(5, 5), kf=gaussian_kernel, **kwargs):
+    """Fill interior NaN pixels with the kernel-weighted mean of their non-NaN
+    neighbours (reference `kernel_interpolate!`,
+    `src/interpolations.jl:75-117`) — one pair of convolutions instead of the
+    reference's pixel loop; border rows/cols are left untouched, matching the
+    reference's interior-only sweep."""
+    data = jnp.asarray(data)
+    kernel = kf(kernel_size, **kwargs)
+    valid = ~jnp.isnan(data)
+    data0 = jnp.where(valid, data, 0.0)
+
+    k4 = kernel[None, None, :, :].astype(data0.dtype)
+
+    def conv(img):
+        return jax.lax.conv_general_dilated(
+            img[None, None, :, :].astype(data0.dtype),
+            k4,
+            window_strides=(1, 1),
+            padding="SAME",
+        )[0, 0]
+
+    num = conv(data0)
+    den = conv(valid.astype(data0.dtype))
+    filled = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+    hx, hy = kernel_size[0] // 2, kernel_size[1] // 2
+    ii = jnp.arange(data.shape[0])[:, None]
+    jj = jnp.arange(data.shape[1])[None, :]
+    interior = (
+        (ii >= hx)
+        & (ii < data.shape[0] - hx)
+        & (jj >= hy)
+        & (jj < data.shape[1] - hy)
+    )
+    return jnp.where(valid | ~interior, data, filled)

@@ -92,8 +92,8 @@ def test_lineprofile_model_gradient():
     x = jnp.array([0.0, 1000.0, np.deg2rad(45.0), 0.0])
     d = gt.ThinDisc(0.0, jnp.inf)
     table = gt.make_transfer_function_table(
-        gt.KerrMetric, [0.5, 0.7], [40.0, 50.0],
-        num_re=6, max_re=30.0, N=16, N_extrema=6, Ng=24,
+        gt.KerrMetric, d, [0.5, 0.7], [40.0, 50.0],
+        n_radii=6, r_max=30.0, N=16, N_extrema=6, Ng=24,
     )
     model = gt.LineProfileModel(table=table)
     energies = jnp.linspace(2.0, 9.0, 40)
