@@ -153,6 +153,62 @@ def bench_binning():
     )
 
 
+def bench_ctf():
+    """TransferFunctionMethod line profile end-to-end on the TPU (VERDICT r3
+    next #2b): the reference's flagship product — 100-radius Cunningham
+    transfer table (offset Newton solves wrapping full ODE traces, batched
+    (rₑ, θ); golden-section extremal scan with warm-started g-only probes;
+    one batched Jacobian launch) + Gauss-Legendre line integration.
+
+    Reference cost center per SURVEY §3.3: ~10⁴ Newton-wrapped ODE solves per
+    profile, threaded on CPU. No published reference wall time exists for
+    this product; vs_baseline is our s/profile against the reference's ~30 s
+    BinningMethod anchor (the two methods produce the same physical product —
+    docs getting-started.md uses them interchangeably)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gradus_tpu as gt
+
+    dtype = jnp.float32
+    m = gt.KerrMetric(M=jnp.asarray(1.0, dtype), a=jnp.asarray(0.998, dtype))
+    x = jnp.asarray([0.0, 1000.0, np.deg2rad(60.0), 0.0], dtype)
+    d = gt.ThinDisc(0.0, jnp.inf)
+    bins = jnp.linspace(0.1, 1.5, 180, dtype=dtype)
+    num_re = int(os.environ.get("BENCH_NUM_RE", "100"))
+
+    def profile():
+        _, flux = gt.lineprofile(m, x, d, bins=bins, num_re=num_re, N=80)
+        return flux
+
+    flux = profile()  # compile + warm caches
+    s = float(jnp.sum(flux))
+    assert np.isfinite(s), "CTF profile produced non-finite flux"
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        flux = profile()
+    float(jnp.sum(flux))
+    dt = (time.perf_counter() - t0) / reps
+    details = {
+        "workload": "ctf_lineprofile",
+        "num_re": num_re,
+        "seconds_per_profile": round(dt, 4),
+        "flux_sum": round(s, 6),
+    }
+    print(json.dumps({"bench_details": details}), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "TransferFunctionMethod line profile, 100 radii, Kerr a=0.998",
+                "value": round(dt, 4),
+                "unit": "s/profile",
+                "vs_baseline": round(BASELINE_BINNING_S / dt, 1),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -177,6 +233,8 @@ def main():
     workload = os.environ.get("BENCH_WORKLOAD", "render")
     if workload == "binning":
         return bench_binning()
+    if workload == "ctf":
+        return bench_ctf()
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     dtype = jnp.float32
@@ -297,6 +355,12 @@ def main():
     img, aux, chk = render(tok)
     float(jnp.asarray(chk))
 
+    # optional profiler capture (VERDICT r3 next #9): BENCH_PROFILE=<dir>
+    # wraps the timed loop in a jax.profiler trace for xprof/tensorboard
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     # timing protocol: each render consumes the previous render's checksum, so
     # the sequence is serially dependent; ONE scalar fetch at the end forces
     # true completion (costs one ~30 ms tunnel round trip, amortized over reps)
@@ -305,6 +369,9 @@ def main():
         img, aux, chk = render(chk)
     float(jnp.asarray(chk))
     dt = (time.perf_counter() - t0) / reps
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(json.dumps({"profile_trace": profile_dir}), file=sys.stderr)
     if aux is not None:
         tile_iters, steps = aux["tile_iters"], aux["steps"]
         attempts, unfinished = aux["attempts"], aux["unfinished"]

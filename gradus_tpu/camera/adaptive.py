@@ -173,13 +173,17 @@ class AdaptiveGrid2D:
         return centres_x, centres_y, out
 
 
-def _refine_loop(grid: AdaptiveGrid2D, evaluate: Callable, check, rounds, max_depth):
+def _refine_loop(
+    grid: AdaptiveGrid2D, evaluate: Callable, check, rounds, max_depth, progress=None
+):
     grid._v_old = None
     vals = evaluate(grid.cx, grid.cy)
     grid.set_values(vals)
-    for _ in range(rounds):
+    for rnd in range(rounds):
         disp = grid.neighbour_disparity()
         mask = check(grid.values, disp) & (grid.depth < max_depth)
+        if progress is not None:
+            progress(dict(round=rnd, cells=int(grid.cx.shape[0]), refining=int(mask.sum())))
         if not mask.any():
             break
         grid.refine(mask)
@@ -201,6 +205,7 @@ def adaptive_render(
     rounds: int = 3,
     max_depth: int = 4,
     threshold: float = 0.1,
+    progress=None,
 ):
     """Adaptively-refined image: `evaluate(αs, βs) -> values` traces a batch;
     refinement targets cells whose neighbour disparity exceeds `threshold`
@@ -210,7 +215,7 @@ def adaptive_render(
     def check(values, disp):
         return (disp > threshold) | ~np.isfinite(disp)
 
-    return _refine_loop(grid, evaluate, check, rounds, max_depth)
+    return _refine_loop(grid, evaluate, check, rounds, max_depth, progress)
 
 
 def adaptive_sky(

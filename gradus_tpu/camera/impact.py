@@ -13,6 +13,7 @@ mapped to the global frame via v^μ = g^{μσ} e^{(ν)}_σ p̄_(ν).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gradus_tpu.geodesics.tetrads import lnrbasis_matrix
@@ -32,7 +33,8 @@ def lnr_momentum_transform(m: AbstractMetric, x):
     """Matrix T with v = T @ p̄: ginv · lnrbasis."""
     ginv = m.inverse_metric(x)
     Tx = lnrbasis_matrix(m, x)
-    return ginv @ Tx
+    # full-f32 contraction: bf16 TPU default breaks the ray initial conditions
+    return jnp.matmul(ginv, Tx, precision=jax.lax.Precision.HIGHEST)
 
 
 def map_impact_parameters(m: AbstractMetric, x, alpha, beta):
@@ -43,4 +45,4 @@ def map_impact_parameters(m: AbstractMetric, x, alpha, beta):
     beta = jnp.asarray(beta)
     alpha, beta = jnp.broadcast_arrays(alpha, beta)
     p = local_momentum(x[..., 1], alpha, beta)
-    return jnp.einsum("ij,...j->...i", T, p)
+    return jnp.einsum("ij,...j->...i", T, p, precision=jax.lax.Precision.HIGHEST)

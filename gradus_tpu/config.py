@@ -29,6 +29,18 @@ DEFAULT_RELTOL_F64 = 1e-9
 DEFAULT_ABSTOL_F32 = 1e-6
 DEFAULT_RELTOL_F32 = 1e-6
 
+# On TPU the default matmul/einsum precision is bfloat16 passes — fine for
+# neural nets, catastrophic for geodesic physics: every contraction in this
+# framework is a tiny 4×4/2×2 (metric dots, LNRF transforms, conserved
+# momenta), where bf16 rounding (~3 decimal digits) breaks Newton convergence
+# in the offset solver and poisons redshifts (observed: the whole CTF product
+# degenerates, gmin == gmax on TPU hardware while bitwise-correct on CPU).
+# These contractions are VPU-bound at these shapes — full f32 costs nothing.
+# The hot einsum sites ALSO pass precision=HIGHEST explicitly (so a user
+# flipping this global back cannot silently break the integrator); this
+# default protects everything else (jnp.linalg solves, user point functions).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def enable_x64(enable: bool = True) -> None:
     """Toggle 64-bit mode in JAX. Call before tracing anything."""

@@ -187,6 +187,7 @@ def corona_adaptive_sky(
     lam_max: float = 10000.0,
     chart_outer: float = 12000.0,
     tracer: CoronaSkyTracer | None = None,
+    progress=None,
 ):
     """Adaptively sample the corona's local sky (reference `AdaptiveSky`
     specialization + `step_block!` driver, adaptive-sample.jl:140-178, 603+).
@@ -202,7 +203,7 @@ def corona_adaptive_sky(
     grid = AdaptiveGrid2D((-1.0 + eps, 1.0 - eps), (-np.pi, np.pi), n0)
     vals = tracer(grid.cx, grid.cy)
 
-    for _ in range(rounds):
+    for rnd in range(rounds):
         score = np.zeros(grid.cx.shape[0])
         # reference check_refine: too-coarse when g or J disagree with a
         # neighbour by > rtol (both-miss pairs never refine: NaN vs NaN
@@ -223,6 +224,15 @@ def corona_adaptive_sky(
             top = np.argpartition(-masked, max_refine - 1)[:max_refine]
             refine = np.zeros_like(refine)
             refine[top[masked[top] > 1.0]] = True
+        if progress is not None:
+            progress(
+                dict(
+                    round=rnd,
+                    cells=int(grid.cx.shape[0]),
+                    refining=int(refine.sum()),
+                    traced=int(tracer.n_traced),
+                )
+            )
         if not refine.any():
             break
         keep = ~refine

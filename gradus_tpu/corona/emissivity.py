@@ -47,8 +47,12 @@ def local_velocity(m: AbstractMetric, x, v, component: int):
     """LNRF velocity component (Bardeen+73 eq. 3.9; reference
     flux-calculations.jl:13-29)."""
     basis = lnrbasis(m, x)
-    vt = jnp.einsum("...i,...i->...", basis[0], v)
-    vi = jnp.einsum("...i,...i->...", basis[component], v)
+    vt = jnp.einsum(
+        "...i,...i->...", basis[0], v, precision=jax.lax.Precision.HIGHEST
+    )
+    vi = jnp.einsum(
+        "...i,...i->...", basis[component], v, precision=jax.lax.Precision.HIGHEST
+    )
     return vi / vt
 
 

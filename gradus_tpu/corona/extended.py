@@ -24,6 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gradus_tpu.corona.spectra import PowerLawSpectrum
 from gradus_tpu.geodesics.equation import constrain_all
@@ -43,7 +44,9 @@ __all__ = [
     "TimeDependentRadialDiscProfile",
     "RingCoronaProfile",
     "DiscCoronaProfile",
+    "NearFieldBlendedProfile",
     "ring_corona_profile",
+    "ring_corona_profile_hybrid",
     "disc_corona_profile",
 ]
 
@@ -238,6 +241,121 @@ class RingCoronaProfile:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class NearFieldBlendedProfile:
+    """RingCoronaProfile with the near-field emissivity served by the
+    adaptive-sky estimator (VERDICT r3 next #6).
+
+    Any β-slice fan estimates ε near the source ring through fold caustics
+    (each slice's hit-radius support edge has dρ/dδ = 0, so its contribution
+    to the β-sum is an integrable 1/√(r − ρ_min(β)) singularity whose
+    Riemann-sum error decays only as O(√Δβ) — measured: ±25% wobble at
+    r − r_ring < 1 r_g even at 80 slices, vs <1e-3 convergence at
+    |r − r_ring| > 1.5). The adaptive sky (corona/adaptive.py) has no slice
+    structure at all: it refines 2D sky cells at exactly those caustics and
+    deposits footprint-smeared flux into radial bins, so its near-field
+    estimate is slice-count independent. This wrapper blends the two with a
+    smooth window: adaptive inside the near field, fan outside. The
+    time-dependent machinery (lag products) stays fan-based throughout —
+    the blend affects `emissivity_at` only.
+    """
+
+    fan: RingCoronaProfile
+    r_nodes: Any  # (K,) radial nodes of the adaptive near-field ε
+    eps_nodes: Any  # (K,)
+    lo0: Any  # window: fan below lo0, adaptive within [lo1, hi0], fan above hi1
+    lo1: Any
+    hi0: Any
+    hi1: Any
+
+    def _window(self, r):
+        def sstep(u):
+            u = jnp.clip(u, 0.0, 1.0)
+            return u * u * (3.0 - 2.0 * u)
+
+        up = sstep((r - self.lo0) / jnp.maximum(self.lo1 - self.lo0, 1e-12))
+        dn = sstep((self.hi1 - r) / jnp.maximum(self.hi1 - self.hi0, 1e-12))
+        return up * dn
+
+    def emissivity_at(self, r):
+        r = jnp.asarray(r)
+        e_fan = self.fan.emissivity_at(r)
+        e_near = jnp.interp(r, self.r_nodes, self.eps_nodes)
+        w = self._window(r)
+        return w * e_near + (1.0 - w) * e_fan
+
+    def coordtime_at(self, r):
+        return self.fan.coordtime_at(r)
+
+    def time_limits_at(self, r):
+        return self.fan.time_limits_at(r)
+
+    def time_emissivity_curve(self, r, tq):
+        return self.fan.time_emissivity_curve(r, tq)
+
+
+def ring_corona_profile_hybrid(
+    m: AbstractMetric,
+    d,
+    model,
+    spectrum=PowerLawSpectrum(2.0),
+    *,
+    near_inner: float = 1.2,
+    near_outer: float = 1.8,
+    n0: int = 24,
+    rounds: int = 5,
+    max_refine: int = 256,
+    n_r_nodes: int = 24,
+    **fan_kwargs,
+):
+    """Ring-corona emissivity profile with adaptive-sky near field.
+
+    Host-driven builder (the adaptive quadtree loop breaks the trace): runs
+    the jitted dense-fan profile AND `corona_adaptive_sky`, bins the
+    adaptive flux into radial nodes spanning [isco-ish, r_ring + near_outer],
+    and returns a `NearFieldBlendedProfile`. Reference swap-point: the
+    reference covers this regime with 2×80 extra golden-section solves per
+    slice (ring.jl:169-236) and 100 slices; the adaptive sky reaches the
+    same rays-budget with slice-free caustic refinement."""
+    import numpy as _np
+
+    from gradus_tpu.corona.adaptive import (
+        corona_adaptive_sky,
+        bin_emissivity_grid,
+    )
+
+    fan = ring_corona_profile(m, d, model, spectrum, **fan_kwargs)
+    grid, vals, _ = corona_adaptive_sky(
+        m, d, model, n0=n0, rounds=rounds, max_refine=max_refine
+    )
+    rr = float(model.r)
+    hi1 = rr + near_outer
+    # nodes span from just outside the horizon to the blend top
+    r_lo = max(1.05 * float(m.inner_radius()), 1.0)
+    r_bins = _np.geomspace(r_lo, hi1 + 0.5, n_r_nodes + 1)
+    eps, sa = bin_emissivity_grid(
+        m, grid, vals, r_bins, _np.array([0.0, 2 * _np.pi]), spectrum
+    )
+    centers = _np.sqrt(r_bins[:-1] * r_bins[1:])
+    eps_nodes = _np.asarray(eps[:, 0])
+    covered = _np.asarray(sa[:, 0]) > 0
+    # bins the adaptive sampling never reached fall back to the fan estimate
+    fan_vals = _np.asarray(fan.emissivity_at(jnp.asarray(centers)))
+    eps_nodes = _np.where(covered, eps_nodes, fan_vals)
+    lo0 = centers[0]
+    lo1 = min(lo0 + 0.5, rr)
+    return NearFieldBlendedProfile(
+        fan=fan,
+        r_nodes=jnp.asarray(centers),
+        eps_nodes=jnp.asarray(eps_nodes),
+        lo0=jnp.asarray(lo0),
+        lo1=jnp.asarray(lo1),
+        hi0=jnp.asarray(rr + near_inner),
+        hi1=jnp.asarray(hi1),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class DiscCoronaProfile:
     """Ring stack with r·δr area weights and per-ring propagation delays
     (reference radial.jl:281-325). `rings` is a RingCoronaProfile whose leaves
@@ -360,7 +478,14 @@ def _split_arms(hit, rho, n_angles):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_beta", "n_angles", "lam_max", "chart_outer", "vf"),
+    static_argnames=(
+        "n_beta",
+        "n_angles",
+        "lam_max",
+        "chart_outer",
+        "vf",
+        "n_refine",
+    ),
 )
 def ring_corona_profile(
     m: AbstractMetric,
@@ -374,6 +499,7 @@ def ring_corona_profile(
     lam_max: float = 10000.0,
     chart_outer: float = 12000.0,
     vf: str | None = None,
+    n_refine: int = 16,
 ) -> RingCoronaProfile:
     """Emissivity profile of a `RingCorona` (reference `emissivity_profile`
     for RingCorona, extended.jl:133-143 + `corona_arms` ring.jl:456-484).
@@ -381,7 +507,17 @@ def ring_corona_profile(
     All (β slice, local angle) pairs trace in one batch; per slice the hits
     split into two monotonic arms and each arm becomes a time-dependent
     emissivity branch. ``vf`` (jit-static) overrides the model's source
-    velocity function ('co_rotating' / 'stationary')."""
+    velocity function ('co_rotating' / 'stationary').
+
+    ``n_refine`` > 0 runs a batched golden-section refinement of each slice's
+    extremal-ρ fan directions (reference `_golden_bracket!` toward :minima
+    and :maxima, ring.jl:140-236 — the reference spends 2·extrema_iter extra
+    solves per slice on exactly this): each slice's hit-radius support edges
+    are fold caustics (dρ/dδ = 0) where the fan under-resolves, which is the
+    dominant error for the near-field emissivity |r − r_ring| ≲ 1.5 r_g. The
+    refinement probes all slices (both targets) in lockstep — `n_refine`
+    iterations × one (2·n_beta,)-ray launch — and merges the probe samples
+    into the fan before the arm split."""
     if vf is not None:
         model = dataclasses.replace(model, vf=vf)
     x, v_src = model.sample_position_velocity(m)
@@ -393,38 +529,131 @@ def ring_corona_profile(
 
     h = 1e-4
     deltas = jnp.linspace(h, 2 * jnp.pi - h, n_angles, dtype=x.dtype)
-    th, ph = rotated_sky_angles(x[2], deltas, betas)  # (n_beta, n_angles)
 
     from gradus_tpu.corona.samplers import sky_angles_to_velocity
-
-    v = sky_angles_to_velocity(m, x, v_src, th.ravel(), ph.ravel())
-    xs = jnp.broadcast_to(x, v.shape)
-    gps = trace_geodesics(
-        m,
-        xs,
-        v,
-        (0.0, lam_max),
-        geometry=d,
-        chart_outer=chart_outer,
-        terminate_fns=(domain_upper_hemisphere(),),
-        constrain=False,
-    )
-
     from gradus_tpu.corona.emissivity import energy_ratio, lorentz_factor
     from gradus_tpu.redshift import keplerian_velocity_projector
 
-    hit = (gps.status == StatusCodes.IntersectedWithGeometry).reshape(
-        n_beta, n_angles
-    )
-    rho = equatorial_project(gps.x).reshape(n_beta, n_angles)
-    t = gps.x[..., 0].reshape(n_beta, n_angles)
     disc_velocity = keplerian_velocity_projector(m)
-    v_disc = disc_velocity(gps.x)
-    g = energy_ratio(m, gps, v_src, v_disc).reshape(n_beta, n_angles)
-    gam = lorentz_factor(m, gps.x, v_disc).reshape(n_beta, n_angles)
+
+    def eval_directions(th_flat, ph_flat):
+        """(hit, ρ, t, g, γ) for a flat batch of local-sky directions."""
+        v = sky_angles_to_velocity(m, x, v_src, th_flat, ph_flat)
+        xs = jnp.broadcast_to(x, v.shape)
+        gps = trace_geodesics(
+            m,
+            xs,
+            v,
+            (0.0, lam_max),
+            geometry=d,
+            chart_outer=chart_outer,
+            terminate_fns=(domain_upper_hemisphere(),),
+            constrain=False,
+        )
+        hit = gps.status == StatusCodes.IntersectedWithGeometry
+        rho = equatorial_project(gps.x)
+        t = gps.x[..., 0]
+        v_disc = disc_velocity(gps.x)
+        g = energy_ratio(m, gps, v_src, v_disc)
+        gam = lorentz_factor(m, gps.x, v_disc)
+        return hit, rho, t, g, gam
+
+    th, ph = rotated_sky_angles(x[2], deltas, betas)  # (n_beta, n_angles)
+    hit, rho, t, g, gam = (
+        a.reshape(n_beta, n_angles)
+        for a in eval_directions(th.ravel(), ph.ravel())
+    )
     delta_grid = jnp.broadcast_to(deltas, (n_beta, n_angles))
 
-    arm_a, arm_b = jax.vmap(lambda h_, r_: _split_arms(h_, r_, n_angles))(hit, rho)
+    if n_refine > 0:
+        # ---- per-slice extremal refinement (fold caustics at the support
+        # edges; reference `_golden_bracket!`, ring.jl:140-236) -------------
+        gr = (np.sqrt(5.0) - 1.0) / 2.0
+        big = jnp.asarray(jnp.inf, x.dtype)
+        sign = jnp.asarray([1.0, -1.0], x.dtype)[:, None]  # (min, max) targets
+
+        def masked_rho(h_, r_):
+            return jnp.where(h_, r_, big)  # non-hits are "worse" for min
+
+        # extremal hit indices per slice, both targets: (2, n_beta)
+        i_min = jnp.argmin(masked_rho(hit, rho), axis=1)
+        i_max = jnp.argmax(jnp.where(hit, rho, -big), axis=1)
+        d_ext = jnp.stack(
+            [
+                jnp.take_along_axis(delta_grid, i_min[:, None], 1)[:, 0],
+                jnp.take_along_axis(delta_grid, i_max[:, None], 1)[:, 0],
+            ]
+        )  # (2, n_beta)
+        spacing = deltas[1] - deltas[0]
+        a = d_ext - 2.0 * spacing
+        b = d_ext + 2.0 * spacing
+        c = b - gr * (b - a)
+        e = a + gr * (b - a)
+        beta2 = jnp.broadcast_to(betas[None, :], (2, n_beta))
+
+        def probe_eval(delta_probe):
+            """delta (2, n_beta) → fan-sample tuple at those directions."""
+            q = _cart_local_direction(delta_probe + x[2], 0.0)  # (2, nb, 3)
+            k = _cart_local_direction(x[2], 0.0)
+            bvec = rodrigues_rotate(k, q, beta2)
+            php = jnp.arctan2(bvec[..., 1], bvec[..., 0])
+            thp = jnp.arctan2(
+                jnp.sqrt(bvec[..., 0] ** 2 + bvec[..., 1] ** 2), bvec[..., 2]
+            )
+            out = eval_directions(thp.ravel(), php.ravel())
+            return tuple(o.reshape(2, n_beta) for o in out)
+
+        hc, rc, tc, gc, gmc = probe_eval(c)
+        he, re_, te, ge, gme = probe_eval(e)
+        fc = sign * masked_rho(hc, rc) * jnp.where(hc, 1.0, sign)
+        fe = sign * masked_rho(he, re_) * jnp.where(he, 1.0, sign)
+
+        def step(carry, _):
+            a, b, c, e, fc, fe = carry
+            left = fc < fe
+            a2 = jnp.where(left, a, c)
+            b2 = jnp.where(left, e, b)
+            c2 = jnp.where(left, b2 - gr * (b2 - a2), e)
+            e2 = jnp.where(left, c, a2 + gr * (b2 - a2))
+            probe = jnp.where(left, c2, e2)
+            hp, rp, tp, gp_, gmp = probe_eval(probe)
+            fp = sign * masked_rho(hp, rp) * jnp.where(hp, 1.0, sign)
+            fc2 = jnp.where(left, fp, fe)
+            fe2 = jnp.where(left, fc, fp)
+            return (a2, b2, c2, e2, fc2, fe2), (probe, hp, rp, tp, gp_, gmp)
+
+        _, scanned = jax.lax.scan(
+            step, (a, b, c, e, fc, fe), None, length=n_refine
+        )
+
+        def merge(fan, first2, rest):
+            # (n_beta, n_angles) ++ prologue (2,2,nb) ++ scan (K,2,nb)
+            extra = jnp.concatenate(
+                [jnp.stack(first2), rest], axis=0
+            )  # (K+2, 2, nb)
+            extra = jnp.moveaxis(extra, -1, 0).reshape(n_beta, -1)
+            return jnp.concatenate([fan, extra], axis=1)
+
+        delta_grid = merge(delta_grid, (c, e), scanned[0])
+        hit = merge(hit, (hc, he), scanned[1])
+        rho = merge(rho, (rc, re_), scanned[2])
+        t = merge(t, (tc, te), scanned[3])
+        g = merge(g, (gc, ge), scanned[4])
+        gam = merge(gam, (gmc, gme), scanned[5])
+        # re-establish cyclic δ ordering for the arm split
+        order = jnp.argsort(delta_grid, axis=1)
+        take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
+        delta_grid, hit, rho, t, g, gam = (
+            take(delta_grid),
+            take(hit),
+            take(rho),
+            take(t),
+            take(g),
+            take(gam),
+        )
+
+    n_samples = delta_grid.shape[1]
+    arm_a, arm_b = jax.vmap(lambda h_, r_: _split_arms(h_, r_, n_samples))(hit, rho)
 
     # Slice normalization: the reference's `emissivity_at` sums arm branches
     # over β slices without weighting (radial.jl:180-189), so its raw ε scales
@@ -467,6 +696,7 @@ def disc_corona_profile(
     lam_max: float = 10000.0,
     chart_outer: float = 12000.0,
     vf: str | None = None,
+    n_refine: int = 16,
 ) -> DiscCoronaProfile:
     """Emissivity profile of a `DiscCorona` as a stack of concentric rings
     (reference extended.jl:186-200): radii = range(1e-2, r, n_rings), delays
@@ -487,6 +717,7 @@ def disc_corona_profile(
             n_angles=n_angles,
             lam_max=lam_max,
             chart_outer=chart_outer,
+            n_refine=n_refine,
         )
 
     rings = jax.vmap(one_ring)(radii)

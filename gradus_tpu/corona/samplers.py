@@ -7,6 +7,7 @@ null velocity via the source's tetrad frame.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,9 +128,9 @@ def sky_angles_to_velocity(m: AbstractMetric, x, v_source, theta, phi, E0=1.0):
         axis=-1,
     )
     J = cart_to_spher_jacobian(x[2], x[3])
-    k = jnp.einsum("ij,...j->...i", J, hat)
+    k = jnp.einsum("ij,...j->...i", J, hat, precision=jax.lax.Precision.HIGHEST)
     p = jnp.concatenate(
         [jnp.full(theta.shape + (1,), E0, k.dtype), E0 * k], axis=-1
     )
     B = tetradframe_matrix(m, x, v_source)
-    return jnp.einsum("ij,...j->...i", B, p)
+    return jnp.einsum("ij,...j->...i", B, p, precision=jax.lax.Precision.HIGHEST)

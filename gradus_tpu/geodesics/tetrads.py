@@ -8,6 +8,7 @@ Gram-Schmidt bootstrap (`orthonormalization.jl:75-123`).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gradus_tpu.metrics.base import AbstractMetric
@@ -30,7 +31,9 @@ __all__ = [
 
 def dotproduct(g, v1, v2):
     """g_{μν} v1^μ v2^ν for a 4x4 metric matrix ``g``."""
-    return jnp.einsum("...ij,...i,...j->...", g, v1, v2)
+    return jnp.einsum(
+        "...ij,...i,...j->...", g, v1, v2, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def propernorm(g, v):
@@ -133,8 +136,12 @@ def lnrframe_matrix(m: AbstractMetric, x):
 
 
 def lowerindices(m: AbstractMetric, x, v):
-    return (m.metric(x) @ v[..., None])[..., 0]
+    return jnp.einsum(
+        "...ij,...j->...i", m.metric(x), v, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def raiseindices(m: AbstractMetric, x, v):
-    return (m.inverse_metric(x) @ v[..., None])[..., 0]
+    return jnp.einsum(
+        "...ij,...j->...i", m.inverse_metric(x), v, precision=jax.lax.Precision.HIGHEST
+    )

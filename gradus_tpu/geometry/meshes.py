@@ -103,3 +103,75 @@ class MeshAccretionGeometry:
             q1[..., None, :], q2[..., None, :], v1, v2, v3
         )
         return inbox & jnp.any(hits & near, axis=-1)
+
+    # --- mesh-file ingestion ----------------------------------------------
+    # The reference loads meshes through GeometryBasics / FileIO
+    # (`src/geometry/meshes.jl:4-30` consumes a GeometryBasics.Mesh built by
+    # `load(file)`). Here the two ubiquitous interchange formats are parsed
+    # directly into the (T, 3, 3) triangle soup — no external deps.
+
+    @staticmethod
+    def from_file(path):
+        """Load a mesh by extension: .obj (ASCII) or .stl (ASCII/binary)."""
+        p = str(path).lower()
+        if p.endswith(".obj"):
+            return MeshAccretionGeometry.from_obj(path)
+        if p.endswith(".stl"):
+            return MeshAccretionGeometry.from_stl(path)
+        raise ValueError(f"unsupported mesh format: {path} (use .obj or .stl)")
+
+    @staticmethod
+    def from_obj(path):
+        """Wavefront OBJ: `v x y z` vertices + `f i j k ...` faces (1-based,
+        `i/uv/n` attribute syntax accepted); polygons are fan-triangulated."""
+        verts = []
+        faces = []
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "v":
+                    verts.append([float(c) for c in parts[1:4]])
+                elif parts[0] == "f":
+                    idx = [int(tok.split("/")[0]) for tok in parts[1:]]
+                    idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                    for k in range(1, len(idx) - 1):
+                        faces.append([idx[0], idx[k], idx[k + 1]])
+        if not faces:
+            raise ValueError(f"no faces found in OBJ file {path}")
+        V = np.asarray(verts, dtype=float)
+        F = np.asarray(faces, dtype=int)
+        return MeshAccretionGeometry.from_triangles(V[F])
+
+    @staticmethod
+    def from_stl(path):
+        """STL, either flavor. Binary: 80-byte header, uint32 count, then
+        50-byte records (normal + 3 vertices + attribute). ASCII: `vertex`
+        lines grouped in threes."""
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        is_ascii = raw[:6].strip().lower().startswith(b"solid")
+        if is_ascii:
+            # some binary files also start with "solid": verify by length
+            n = np.frombuffer(raw[80:84], np.uint32)[0] if len(raw) >= 84 else -1
+            if len(raw) == 84 + 50 * int(n):
+                is_ascii = False
+        if is_ascii:
+            vs = []
+            for line in raw.decode("ascii", errors="ignore").splitlines():
+                parts = line.split()
+                if parts and parts[0] == "vertex":
+                    vs.append([float(c) for c in parts[1:4]])
+            if len(vs) < 3:
+                raise ValueError(f"no triangles found in STL file {path}")
+            tri = np.asarray(vs, dtype=float)[: 3 * (len(vs) // 3)].reshape(
+                -1, 3, 3
+            )
+        else:
+            n = int(np.frombuffer(raw[80:84], np.uint32)[0])
+            rec = np.frombuffer(raw[84 : 84 + 50 * n], dtype=np.uint8)
+            rec = rec.reshape(n, 50)
+            floats = rec[:, :48].copy().view(np.float32).reshape(n, 4, 3)
+            tri = floats[:, 1:4].astype(float)  # drop the normal row
+        return MeshAccretionGeometry.from_triangles(tri)

@@ -670,6 +670,7 @@ class CompactedIntegrator:
         min_bucket: int = 8192,
         event_method: str = "cubic",
         segment_schedule: tuple | None = None,
+        progress=None,
     ):
         self.p = _Problem(
             f=f,
@@ -692,6 +693,10 @@ class CompactedIntegrator:
         )
         self.segment_iters = segment_iters
         self.min_bucket = min_bucket
+        # per-segment progress hook (reference ProgressMeter parity,
+        # rendering/utility.jl:30-41): called with a dict after every
+        # compaction segment — width, executed iters, rays still alive
+        self.progress = progress
         # growing segment schedule: short early segments let compaction trim
         # the fast-dying bulk (disc hits cluster at ~60 steps on the flagship
         # render) before wasting full-width lanes; long late segments
@@ -786,6 +791,16 @@ class CompactedIntegrator:
             iters_exec = int(iters_exec)
             stats.append((width, iters_exec - iters_prev, n_alive))
             iters_prev = iters_exec
+            if self.progress is not None:
+                self.progress(
+                    dict(
+                        segment=seg_no,
+                        width=width,
+                        executed_iters=iters_exec,
+                        alive=n_alive,
+                        total=N,
+                    )
+                )
             if n_alive == 0:
                 break
             cur = carry["lam"].shape[0]

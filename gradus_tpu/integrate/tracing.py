@@ -69,7 +69,9 @@ def make_geodesic_rhs(m: AbstractMetric, trace: TraceGeodesic | None = None):
             F = faraday_tensor(m, x) if x.ndim == 1 else jax.vmap(
                 lambda xx: faraday_tensor(m, xx)
             )(x)
-            lorentz = q_over_mu * jnp.einsum("...ij,...j->...i", F, v)
+            lorentz = q_over_mu * jnp.einsum(
+                "...ij,...j->...i", F, v, precision=jax.lax.Precision.HIGHEST
+            )
             return jnp.concatenate([v, acc + lorentz], axis=-1)
 
         return f
@@ -276,6 +278,7 @@ class Tracer:
         min_bucket: int = 8192,
         segment_schedule: tuple | None = None,
         dtype=None,
+        progress=None,
     ):
         from gradus_tpu.integrate.solver import CompactedIntegrator
 
@@ -321,6 +324,7 @@ class Tracer:
             segment_iters=segment_iters,
             min_bucket=min_bucket,
             segment_schedule=segment_schedule,
+            progress=progress,
         )
         self._constrain = jax.jit(
             lambda x, v: jnp.concatenate(

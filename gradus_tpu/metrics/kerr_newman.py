@@ -68,4 +68,4 @@ def faraday_tensor(m: AbstractMetric, x):
     dA = dA.at[:, 1].set(dA_rt[:, 0]).at[:, 2].set(dA_rt[:, 1])  # ∂_σ index second
     # dA[κ, σ] = ∂_σ A_κ ⇒ F_{σκ} = ∂_σ A_κ − ∂_κ A_σ = dA.T − dA
     ginv = m.inverse_metric(x)
-    return ginv @ (dA.T - dA)
+    return jnp.matmul(ginv, dA.T - dA, precision=jax.lax.Precision.HIGHEST)

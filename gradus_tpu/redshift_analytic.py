@@ -27,6 +27,7 @@ reference `redshift_function(::KerrMetric, gp)` (redshift.jl:193-203).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gradus_tpu.camera.pointfns import PointFunction
@@ -170,7 +171,9 @@ def analytic_redshift_pointfunction(m, x_obs=None):
         g_disc = m.metric(gp.x)
         g_obs = m.metric(gp.x_init)
         # conserved photon quantities from the observer-side state
-        p_init = jnp.einsum("...ij,...j->...i", g_obs, gp.v_init)
+        p_init = jnp.einsum(
+            "...ij,...j->...i", g_obs, gp.v_init, precision=jax.lax.Precision.HIGHEST
+        )
         E_ph = -p_init[..., 0]
         lam = p_init[..., 3] / E_ph
 

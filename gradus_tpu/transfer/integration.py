@@ -168,7 +168,9 @@ def integrate_lineprofile(
     S = _make_S_both(br, tfs.gstar, gmin, gmax)
     quad = gauss_legendre(quadrature_points)
     bins = _integrate_bins(S, g_grid / g_scale, gmin, gmax, h, quad)  # (nf, nb)
-    flux_bins = jnp.einsum("f,fb->b", weight, bins)
+    flux_bins = jnp.einsum(
+        "f,fb->b", weight, bins, precision=jax.lax.Precision.HIGHEST
+    )
     if normalize:
         flux_bins = _normalize_flux(flux_bins, g_grid)
     return jnp.concatenate([flux_bins, jnp.zeros((1,), flux_bins.dtype)])

@@ -105,6 +105,7 @@ def make_transfer_function_table(
     n_radii: int = 150,
     r_obs: float = 10000.0,
     verbose: bool = False,
+    progress=None,
     **kwargs,
 ) -> CunninghamTransferTable:
     """Precompute grids over the (a, θ_obs[deg]) lattice
@@ -122,6 +123,15 @@ def make_transfer_function_table(
             g = transferfunctions(m, x, d, radii=radii, **kwargs)
             if verbose:
                 print(f"table: a={a}, theta={th} done")
+            if progress is not None:
+                progress(
+                    dict(
+                        done=len(grids) * len(np.asarray(theta_range)) + len(row) + 1,
+                        total=len(np.asarray(a_range)) * len(np.asarray(theta_range)),
+                        a=float(a),
+                        theta=float(th),
+                    )
+                )
             row.append(g)
         grids.append(row)
 
