@@ -120,6 +120,25 @@ def bench_binning():
         )
         return flux, aux, jnp.sum(flux * flux)
 
+    if os.environ.get("BENCH_BACKEND", "pallas") == "xla":
+        # A/B: same product on the host-compaction XLA path (`Tracer`)
+        from gradus_tpu.integrate import Tracer
+
+        tracer_x = Tracer(m, geometry=d_trace, dtype=dtype)
+
+        @jax.jit
+        def bin_program(gp, areas, tok):
+            flux = binned_flux(
+                m, gp, areas, lambda r: r**-3.0, bins + 0.0 * tok,
+                min_re=min_re, max_re=max_re, lam_max=lam_max, redshift_pf=pf,
+            )
+            return flux, jnp.sum(flux * flux)
+
+        def profile_program(y0, y0_p, areas, tok):
+            gp = tracer_x(xs, v, (0.0, lam_max))
+            flux, chk = bin_program(gp, areas, tok)
+            return flux, {"tile_iters": jnp.zeros(()), "steps": jnp.zeros(())}, chk
+
     reps = int(os.environ.get("BENCH_REPS", "10"))
     tok = jnp.float32(0.0)
     flux, aux, chk = profile_program(y0, y0_p, areas, tok)

@@ -154,6 +154,7 @@ from gradus_tpu.corona import (
     RingCoronaProfile,
     DiscCoronaProfile,
     ring_corona_profile,
+    ring_corona_profile_hybrid,
     disc_corona_profile,
 )
 from gradus_tpu.reverberation import lag_frequency, continuum_time, lagtransfer, binflux

@@ -27,6 +27,8 @@ from gradus_tpu.corona.extended import (
     RingCoronaProfile,
     DiscCoronaProfile,
     ring_corona_profile,
+    ring_corona_profile_hybrid,
+    NearFieldBlendedProfile,
     disc_corona_profile,
     co_rotating_velocity,
     stationary_velocity,

@@ -294,6 +294,29 @@ def cunningham_transfer_function(
     # --- main angular sweep ---------------------------------------------
     TH = jnp.broadcast_to(thetas0[None, :], (nr, N))
     RE = jnp.broadcast_to(radii[:, None], (nr, N))
+    # Warm-start the lockstep Newton with the flat-space image of the
+    # emission ring: a disc ring of radius rₑ seen at inclination i images
+    # onto the ellipse r(θ) = rₑ·cos i / √(cos²i·cos²θ + sin²θ) (semi-axes
+    # rₑ and rₑ·cos i), plus an O(M) light-bending lift that peaks on the
+    # far side (θ ≈ π/2). The guess lands within a few % of the root for
+    # rₑ ≳ 3, so the batch converges in ~5 iterations instead of the cold
+    # max(20, rₑ) start's ~15-30 — and in lockstep the WORST ray sets the
+    # cost of all 8000 (the reference's per-ray scalar Newton never pays
+    # this, precision-solvers.jl:151; our batch does, so init quality is a
+    # first-order cost lever).
+    inc = x[2]
+    cos_i = jnp.cos(inc)
+    sin2 = jnp.sin(TH) ** 2
+    ellipse = RE * jnp.abs(cos_i) / jnp.sqrt(cos_i**2 * (1.0 - sin2) + sin2)
+    bend = 1.0 + jnp.sin(inc) * jnp.maximum(jnp.sin(TH), 0.0)
+    # f32 only: the init composes with the Newton stall exit for the TPU
+    # product speed. In f64 the cold reference start is kept — the init
+    # perturbs which iterate first crosses zero_atol, which wobbles the
+    # CTF moment anchors at exactly their 1e-3 tolerance scale.
+    if jnp.dtype(x.dtype) == jnp.float32:
+        r_init_sweep = (ellipse + bend).ravel()
+    else:
+        r_init_sweep = None
     g_s, J_s, t_s, ok_s, roff_s, cond_s = offset_workhorse(
         m,
         x,
@@ -307,6 +330,7 @@ def cunningham_transfer_function(
         max_iter=newton_iters,
         alpha0=alpha0,
         beta0=beta0,
+        r_init=r_init_sweep,
         return_r_off=True,
     )
     g_s = g_s.reshape(nr, N)

@@ -84,3 +84,40 @@ def test_transfer_table_interpolation():
     flux = np.asarray(model(energies, a=0.25, theta_obs=45.0))
     assert np.isfinite(flux).all()
     assert flux.sum() > 0
+
+
+def test_mesh_file_loaders(tmp_path):
+    """OBJ and STL (binary + ASCII) ingestion round-trips the triangle soup
+    (reference loads via GeometryBasics/FileIO, meshes.jl:4-30)."""
+    import struct
+
+    from gradus_tpu.geometry.meshes import MeshAccretionGeometry
+
+    obj = "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3\nf 2/1 4/2/3 3//1\n"
+    p_obj = tmp_path / "m.obj"
+    p_obj.write_text(obj)
+    g = MeshAccretionGeometry.from_file(p_obj)
+    tris = np.asarray(g.triangles)
+    assert tris.shape == (2, 3, 3)
+
+    buf = b"\0" * 80 + struct.pack("<I", len(tris))
+    for t in tris.astype(np.float32):
+        buf += struct.pack("<3f", 0, 0, 1)
+        for v in t:
+            buf += struct.pack("<3f", *v)
+        buf += struct.pack("<H", 0)
+    p_stl = tmp_path / "m.stl"
+    p_stl.write_bytes(buf)
+    g2 = MeshAccretionGeometry.from_file(p_stl)
+    np.testing.assert_allclose(np.asarray(g2.triangles), tris)
+
+    lines = ["solid x"]
+    for t in tris:
+        lines += ["facet normal 0 0 1", "outer loop"]
+        lines += [f"vertex {v[0]} {v[1]} {v[2]}" for v in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid x")
+    p_ascii = tmp_path / "ma.stl"
+    p_ascii.write_text("\n".join(lines))
+    g3 = MeshAccretionGeometry.from_stl(p_ascii)
+    np.testing.assert_allclose(np.asarray(g3.triangles), tris)
