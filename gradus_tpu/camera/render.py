@@ -41,6 +41,15 @@ class EndpointRenderCache:
     width: int = dataclasses.field(metadata=dict(static=True))
     points: Any = None  # GeodesicPoint batch, flattened (W·H,)
 
+    def __repr__(self):
+        # reference show method parity (rendering/cache.jl:40-59)
+        return (
+            "EndpointRenderCache\n"
+            f"  . metric      : {type(self.m).__name__}\n"
+            f"  . dimensions  : {self.width} x {self.height}\n"
+            f"  . max time    : {self.max_time}"
+        )
+
 
 def _pixel_velocities(m, x, image_width, image_height, alpha_lims, beta_lims, offset=1e-6):
     dtype = jnp.asarray(x).dtype

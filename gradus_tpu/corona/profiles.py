@@ -35,6 +35,21 @@ class RadialDiscProfile:
     def coordtime_at(self, r):
         return masked_sorted_interp(jnp.asarray(r), self.radii, self.t, self.n)
 
+    def __repr__(self):
+        # reference show method parity (radial.jl:279-287)
+        try:
+            import numpy as _np
+
+            n = int(_np.asarray(self.n))
+            r = _np.asarray(self.radii)[:n]
+            return (
+                "RadialDiscProfile\n"
+                f"  . N samples    : {n}\n"
+                f"  . r (min, max) : ({r.min():.4g}, {r.max():.4g})"
+            )
+        except Exception:
+            return object.__repr__(self)
+
 
 def _zero_time(r):
     return jnp.zeros_like(r)

@@ -166,6 +166,13 @@ class DatumPlane(AbstractAccretionGeometry):
     def crossing_indicator(self, x4):
         return spinaxis_project(x4, signed=True) - self.height
 
+    # column forms for the Pallas kernel (scalar height only)
+    def crossing_indicator_c(self, t, r, th, ph):
+        return r * jnp.cos(th) - self.height
+
+    def is_hit_c(self, t, r, th, ph, gtol=1e-2):
+        return jnp.ones_like(r, dtype=bool)
+
 
 class AbstractThickAccretionDisc(AbstractAccretionGeometry):
     """Discs defined by a height cross-section h(ρ) ≤ 0 where undefined

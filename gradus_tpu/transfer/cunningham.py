@@ -99,6 +99,24 @@ class TransferBranchGrid:
             upper_t=lerp(self.upper_t),
         )
 
+    def __repr__(self):
+        try:
+            import numpy as _np
+
+            nr = self.radii.shape[0]
+            return (
+                f"TransferBranchGrid\n"
+                f"  . radii (N, min, max) : {nr}, "
+                f"{float(_np.min(_np.asarray(self.radii))):.4g}, "
+                f"{float(_np.max(_np.asarray(self.radii))):.4g}\n"
+                f"  . g✶ grid            : {self.gstar.shape[0]} nodes\n"
+                f"  . g (min, max)        : "
+                f"{float(_np.min(_np.asarray(self.gmin))):.4g}, "
+                f"{float(_np.max(_np.asarray(self.gmax))):.4g}"
+            )
+        except Exception:
+            return object.__repr__(self)
+
 
 def _theta_samples(N: int, theta_offset: float, dtype):
     """Edge-clustered θ iterator (reference
@@ -143,6 +161,7 @@ def _masked_resample(gq, gs, vals, mask):
         "alpha0",
         "beta0",
         "warm_start",
+        "probe_fn",
     ),
 )
 def _golden_scan(
@@ -160,6 +179,7 @@ def _golden_scan(
     alpha0,
     beta0,
     warm_start=True,
+    probe_fn=None,
 ):
     """Both extremal golden-section searches (gmin around θ=0, gmax around
     θ=π) advanced in lockstep inside ONE compiled scan of g-only probes
@@ -180,19 +200,31 @@ def _golden_scan(
     RE2 = jnp.broadcast_to(radii[None, :], (2, nr))
 
     def probe_eval(theta_2nr, warm_2nr):
-        r_off, g, t, ok = offset_probe(
-            m,
-            x,
-            disc2,
-            RE2.ravel(),
-            _avoid_poles(theta_2nr.ravel()),
-            lam_max=lam_max,
-            zero_atol=zero_atol,
-            max_iter=newton_iters,
-            alpha0=alpha0,
-            beta0=beta0,
-            r_init=warm_2nr.ravel() if warm_start else None,
-        )
+        if probe_fn is not None:
+            # backend-supplied probe (e.g. the Pallas FD solver): same
+            # (r_targets, θ, warm) → (r_off, g, t, ok) contract
+            warm = (
+                warm_2nr.ravel()
+                if warm_start
+                else jnp.full((2 * nr,), jnp.nan, x.dtype)
+            )
+            r_off, g, t, ok = probe_fn(
+                RE2.ravel(), _avoid_poles(theta_2nr.ravel()), warm
+            )
+        else:
+            r_off, g, t, ok = offset_probe(
+                m,
+                x,
+                disc2,
+                RE2.ravel(),
+                _avoid_poles(theta_2nr.ravel()),
+                lam_max=lam_max,
+                zero_atol=zero_atol,
+                max_iter=newton_iters,
+                alpha0=alpha0,
+                beta0=beta0,
+                r_init=warm_2nr.ravel() if warm_start else None,
+            )
         rs = (2, nr)
         return r_off.reshape(rs), g.reshape(rs), t.reshape(rs), ok.reshape(rs)
 
@@ -251,6 +283,7 @@ def cunningham_transfer_function(
     beta0: float = 0.0,
     return_samples: bool = False,
     probe_warm_start: bool = True,
+    backend: str = "xla",
 ) -> TransferBranchGrid:
     """Compute transfer functions for an array of emission radii at once.
 
@@ -317,22 +350,58 @@ def cunningham_transfer_function(
         r_init_sweep = (ellipse + bend).ravel()
     else:
         r_init_sweep = None
-    g_s, J_s, t_s, ok_s, roff_s, cond_s = offset_workhorse(
-        m,
-        x,
-        disc_solver_tile(disc_solver, N),
-        RE.ravel(),
-        _avoid_poles(TH.ravel()),
-        jacobian_disc=jacobian_disc,
-        verify_disc=verify_disc,
-        lam_max=lam_max,
-        zero_atol=zero_atol,
-        max_iter=newton_iters,
-        alpha0=alpha0,
-        beta0=beta0,
-        r_init=r_init_sweep,
-        return_r_off=True,
-    )
+
+    pallas_solver = None
+    if backend == "pallas":
+        # TPU product fast path (transfer/pallas_ctf.py): FD Newton through
+        # the tile-resident kernel. Thin discs only — the kernel bakes
+        # geometry parameters as compile-time scalars, so per-radius datum
+        # planes (thick discs) stay on the XLA jvp path.
+        from gradus_tpu.transfer.pallas_ctf import get_pallas_ctf_solver
+
+        if not (
+            isinstance(disc_solver, DatumPlane)
+            and jnp.ndim(disc_solver.height) == 0
+        ):
+            raise NotImplementedError(
+                "backend='pallas' supports thin discs (scalar DatumPlane) "
+                "only; thick discs use the default XLA path"
+            )
+        pallas_solver = get_pallas_ctf_solver(
+            m,
+            np.asarray(x, np.float64),
+            disc_solver,
+            lam_max=float(lam_max),
+            alpha0=float(alpha0),
+            beta0=float(beta0),
+            zero_atol=float(zero_atol),
+            dtype=x.dtype,
+        )
+        r_init_p = (
+            r_init_sweep
+            if r_init_sweep is not None
+            else (ellipse + bend).ravel()
+        )
+        g_s, J_s, t_s, ok_s, roff_s, cond_s = pallas_solver.workhorse(
+            RE.ravel(), _avoid_poles(TH.ravel()), r_init=r_init_p
+        )
+    else:
+        g_s, J_s, t_s, ok_s, roff_s, cond_s = offset_workhorse(
+            m,
+            x,
+            disc_solver_tile(disc_solver, N),
+            RE.ravel(),
+            _avoid_poles(TH.ravel()),
+            jacobian_disc=jacobian_disc,
+            verify_disc=verify_disc,
+            lam_max=lam_max,
+            zero_atol=zero_atol,
+            max_iter=newton_iters,
+            alpha0=alpha0,
+            beta0=beta0,
+            r_init=r_init_sweep,
+            return_r_off=True,
+        )
     g_s = g_s.reshape(nr, N)
     J_s = J_s.reshape(nr, N)
     t_s = t_s.reshape(nr, N)
@@ -371,6 +440,7 @@ def cunningham_transfer_function(
         alpha0=alpha0,
         beta0=beta0,
         warm_start=probe_warm_start,
+        probe_fn=None if pallas_solver is None else pallas_solver.probe_fn,
     )
     P = N_extrema + 2
 
@@ -381,19 +451,26 @@ def cunningham_transfer_function(
 
     th_rows = to_rows(th_p)
     r_rows = to_rows(r_p)
-    gJ, J_pr, tJ, okJ, condJ = offset_jacobian_at(
-        m,
-        x,
-        disc_solver_tile(disc_solver, 2 * P),
-        jnp.broadcast_to(radii[:, None], (nr, 2 * P)).ravel(),
-        _avoid_poles(th_rows.ravel()),
-        r_rows.ravel(),
-        jacobian_disc=jacobian_disc,
-        verify_disc=verify_disc,
-        lam_max=lam_max,
-        alpha0=alpha0,
-        beta0=beta0,
-    )
+    if pallas_solver is not None:
+        gJ, J_pr, tJ, okJ, condJ = pallas_solver.jacobian_at(
+            jnp.broadcast_to(radii[:, None], (nr, 2 * P)).ravel(),
+            _avoid_poles(th_rows.ravel()),
+            r_rows.ravel(),
+        )
+    else:
+        gJ, J_pr, tJ, okJ, condJ = offset_jacobian_at(
+            m,
+            x,
+            disc_solver_tile(disc_solver, 2 * P),
+            jnp.broadcast_to(radii[:, None], (nr, 2 * P)).ravel(),
+            _avoid_poles(th_rows.ravel()),
+            r_rows.ravel(),
+            jacobian_disc=jacobian_disc,
+            verify_disc=verify_disc,
+            lam_max=lam_max,
+            alpha0=alpha0,
+            beta0=beta0,
+        )
     J_rows = J_pr.reshape(nr, 2 * P)
     ok_rows = to_rows(ok_p) & okJ.reshape(nr, 2 * P)
 

@@ -49,6 +49,22 @@ class CunninghamTransferTable:
     lower_t: Any
     upper_t: Any
 
+    def __repr__(self):
+        # reference show method parity (transfer-functions/types.jl:164-174)
+        try:
+            import numpy as _np
+
+            ag = _np.asarray(self.a_grid)
+            tg = _np.asarray(self.theta_grid)
+            return (
+                "CunninghamTransferTable\n"
+                f"  . a grid      : {ag.shape[0]} in ({ag.min():.4g}, {ag.max():.4g})\n"
+                f"  . θ grid (°)  : {tg.shape[0]} in ({tg.min():.4g}, {tg.max():.4g})\n"
+                f"  . radii × g✶  : {self.radii.shape[-1]} × {self.gstar.shape[0]}"
+            )
+        except Exception:
+            return object.__repr__(self)
+
     def __call__(self, a, theta) -> TransferBranchGrid:
         a = jnp.asarray(a)
         theta = jnp.asarray(theta)

@@ -27,7 +27,12 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# READ-ONLY in the test process: XLA:CPU `executable.serialize()` segfaults
+# intermittently inside long pytest runs on this host (three full golden-tier
+# runs died in `put_executable_and_time` — SIGABRT ×1, SEGV ×2, with and
+# without concurrent processes). Reads are unaffected; cache entries are
+# populated by the (short-lived, crash-free) bench/debug scripts instead.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 
 def pytest_report_header(config):

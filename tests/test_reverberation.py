@@ -2,8 +2,8 @@
 `test/smoke-tests/reverberation.jl:42-45`): Kerr a=0.998, i=45°, lamppost.
 
 Σfreq is exact (FFT grid mechanics); τ[131] agrees with the reference golden
-to ~2.5% (reference tolerance 1%; residual from emissivity-profile sampling
-details) — asserted at 5%.
+to ~2.4%, converged across every resolution knob (see test_tau_golden) —
+asserted at 3% with a determinism pin.
 """
 
 import jax.numpy as jnp
@@ -60,8 +60,24 @@ def test_sum_freq_golden(lag_spectrum):
 
 
 def test_tau_golden(lag_spectrum):
+    """τ[131] vs the reference golden (reverberation.jl:44, its rtol 1e-2).
+
+    Round-4 convergence study (scripts/debug notes): our value 9.5498 sits
+    +2.4% above the recorded golden and is CONVERGED — doubling the
+    emissivity δ-sweep (n_samples 500→1000: +2.43%), quadrupling the lag
+    integrator's radial grid (n_radii 100→400: +2.42%), quadrupling the
+    branch-table g✶ nodes (Ng 64→256: +2.46%), and correcting the continuum
+    time by its measured −0.073 r_g error (+2.80%) all leave it fixed;
+    doubling the CTF radial table (10→20 radii, the one knob the reference's
+    recorded config also fixes at 10) moves it −0.3%. Every shared
+    ingredient is verified independently (FFT/phase step line-identical,
+    Σfreq fingerprint at 1e-6, lamppost emissivity formula term-by-term,
+    branch times vs an independent binned render). The residual is a
+    systematic discretization-realisation difference between two converged
+    pipelines at a 10-radius table; asserted at 3e-2 with a determinism pin."""
     _, tau, _, _ = lag_spectrum
-    np.testing.assert_allclose(tau[131], 9.322742661315855, rtol=5e-2)
+    np.testing.assert_allclose(tau[131], 9.322742661315855, rtol=3e-2)
+    np.testing.assert_allclose(tau[131], 9.54984, rtol=1e-4)
 
 
 def test_lag_structure(lag_spectrum):
