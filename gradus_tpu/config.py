@@ -39,7 +39,14 @@ DEFAULT_RELTOL_F32 = 1e-6
 # The hot einsum sites ALSO pass precision=HIGHEST explicitly (so a user
 # flipping this global back cannot silently break the integrator); this
 # default protects everything else (jnp.linalg solves, user point functions).
-jax.config.update("jax_default_matmul_precision", "highest")
+#
+# NOTE: this is a process-global side effect at import time — it also raises
+# matmul precision (and lowers matmul throughput) for any co-resident JAX
+# code, e.g. a neural-net model sharing the process. Documented in README;
+# opt out with GRADUS_TPU_NO_GLOBAL_PRECISION=1 (the framework's own hot
+# paths stay correct via their explicit per-site precision=HIGHEST).
+if os.environ.get("GRADUS_TPU_NO_GLOBAL_PRECISION", "") != "1":
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def enable_x64(enable: bool = True) -> None:

@@ -568,7 +568,9 @@ def ring_corona_profile(
     if n_refine > 0:
         # ---- per-slice extremal refinement (fold caustics at the support
         # edges; reference `_golden_bracket!`, ring.jl:140-236) -------------
-        gr = (np.sqrt(5.0) - 1.0) / 2.0
+        # Python float (weak) so f32 slices under x64 mode don't promote the
+        # golden-section scan carry to f64 (see transfer/cunningham.py _GR)
+        gr = 0.6180339887498949
         big = jnp.asarray(jnp.inf, x.dtype)
         sign = jnp.asarray([1.0, -1.0], x.dtype)[:, None]  # (min, max) targets
 
@@ -634,7 +636,11 @@ def ring_corona_profile(
             extra = jnp.moveaxis(extra, -1, 0).reshape(n_beta, -1)
             return jnp.concatenate([fan, extra], axis=1)
 
-        delta_grid = merge(delta_grid, (c, e), scanned[0])
+        # probe deltas can step outside [0, 2π) (bracket d_ext ± 2·spacing at
+        # the fan seam); wrap them so the cyclic argsort below keeps δ
+        # ordering consistent and _split_arms sees correctly-ordered arms
+        wrap2pi = lambda dd: jnp.mod(dd, 2.0 * np.pi)
+        delta_grid = merge(delta_grid, (wrap2pi(c), wrap2pi(e)), wrap2pi(scanned[0]))
         hit = merge(hit, (hc, he), scanned[1])
         rho = merge(rho, (rc, re_), scanned[2])
         t = merge(t, (tc, te), scanned[3])

@@ -45,7 +45,10 @@ __all__ = [
     "gstar_to_g",
 ]
 
-_GR = (np.sqrt(5.0) - 1.0) / 2.0
+# Python float (weakly typed) so the golden-section updates never promote an
+# f32 `lax.scan` carry to f64 under x64 mode (a non-weak np.float64 here broke
+# the f32 CTF pipeline in the golden-parity environment).
+_GR = 0.6180339887498949
 
 
 def g_to_gstar(g, gmin, gmax):

@@ -88,7 +88,7 @@ def _integrate_bins(S, g_grid, gmin, gmax, h, quad):
     def edge(lim_g, lim_gstar):
         gh = lim_gstar * span + gmin_
         Sgh = S(gh)
-        return Sgh * jnp.abs(jnp.sqrt(gh) - jnp.sqrt(lim_g)) * np.sqrt(h)
+        return Sgh * jnp.abs(jnp.sqrt(gh) - jnp.sqrt(lim_g)) * float(np.sqrt(h))
 
     lo_edge = gstar_lo < h
     hi_edge = gstar_hi > 1.0 - h

@@ -328,6 +328,10 @@ def get_pallas_ctf_solver(m, x, d, **kwargs) -> PallasCTFSolver:
         tuple(np.asarray(x, np.float64).tolist()),
         type(d).__name__,
         leafkey(d),
+        # dtype and interpret are NOT numeric kwargs — key them explicitly so
+        # an f64/interpret run never reuses an f32/compiled solver
+        str(jnp.dtype(kwargs.get("dtype", jnp.float32))),
+        kwargs.get("interpret", None),
         tuple(sorted((k, float(v)) for k, v in kwargs.items() if isinstance(v, (int, float)))),
     )
     if key not in _SOLVER_CACHE:

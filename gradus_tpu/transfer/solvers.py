@@ -358,8 +358,10 @@ def _post_solve(
     # conditioning of the determinant: |det| relative to the magnitude of the
     # cancelling terms. det → 0 exactly at the transfer-function extrema, so
     # near-extremal J = 1/|det| is trustworthy only while cond ≫ the jvp
-    # field accuracy (~integrator tolerance). Consumers (the CTF near-
-    # extremal regulariser) gate on this instead of guessing from g✶ alone.
+    # field accuracy (~integrator tolerance). Exposed for diagnostics — it is
+    # surfaced through `return_samples` (cunningham.py) so conditioning
+    # studies can read it; the CTF regulariser itself gates on the g✶
+    # ill-zone plus the κ = 1.5 upward-spike test, not on cond.
     cond = jnp.abs(det) / (
         jnp.abs(d_da[..., 0] * d_db[..., 1])
         + jnp.abs(d_da[..., 1] * d_db[..., 0])
