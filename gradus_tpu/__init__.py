@@ -116,6 +116,7 @@ from gradus_tpu.redshift import (
     interpolate_redshift,
     keplerian_velocity_projector,
 )
+from gradus_tpu.redshift_analytic import analytic_redshift_pointfunction
 from gradus_tpu.transfer import (
     find_offset_for_radius,
     impact_parameters_for_radius,

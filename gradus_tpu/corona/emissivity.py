@@ -283,12 +283,30 @@ def emissivity_profile(
             m, d, model, spectrum, n_samples=n_samples, **kwargs
         )
     if sampler is None and isinstance(model, RingCorona):
-        from gradus_tpu.corona.extended import ring_corona_profile
+        from gradus_tpu.corona.extended import (
+            ring_corona_profile,
+            ring_corona_profile_hybrid,
+        )
 
+        # DEFAULT: the near-field hybrid (VERDICT r4 next #6). The plain
+        # β-slice fan estimates ε through fold caustics with an O(√Δβ) error
+        # that wobbles ±25% at |r − r_ring| ≲ 1 r_g; the hybrid serves that
+        # band from the slice-free adaptive-sky estimator and the fan
+        # everywhere else. `near_field="fan"` opts out (cheaper; fine when
+        # only the far field matters).
+        if kwargs.pop("near_field", "hybrid") == "hybrid":
+            return ring_corona_profile_hybrid(m, d, model, spectrum, **kwargs)
         return ring_corona_profile(m, d, model, spectrum, **kwargs)
     if sampler is None and isinstance(model, DiscCorona):
         from gradus_tpu.corona.extended import disc_corona_profile
 
+        # the ring-stack fan: each ring's near-field wobble is diluted by the
+        # flux-weighted stack average; a per-ring hybrid would run n_rings
+        # host-driven adaptive skies (pass near_field="hybrid" to force it)
+        if kwargs.pop("near_field", "fan") == "hybrid":
+            from gradus_tpu.corona.extended import disc_corona_profile_hybrid
+
+            return disc_corona_profile_hybrid(m, d, model, spectrum, **kwargs)
         return disc_corona_profile(m, d, model, spectrum, **kwargs)
     return tracecorona_profile(
         m, d, model, spectrum, sampler=sampler, n_samples=n_samples, **kwargs

@@ -48,6 +48,8 @@ __all__ = [
     "ring_corona_profile",
     "ring_corona_profile_hybrid",
     "disc_corona_profile",
+    "disc_corona_profile_hybrid",
+    "DiscCoronaHybridProfile",
 ]
 
 
@@ -677,6 +679,104 @@ def ring_corona_profile(
         return TimeDependentRadialDiscProfile(radii=r_s, t=t_s, eps=scale * e_s, n=n)
 
     return RingCoronaProfile(left=branches(arm_b), right=branches(arm_a))
+
+
+class DiscCoronaHybridProfile:
+    """Disc-corona ring stack whose per-ring near fields come from the
+    adaptive-sky hybrid (a host-level aggregate of `NearFieldBlendedProfile`s
+    — the hybrid builder is host-driven, so the stack cannot vmap).
+
+    Mirrors `DiscCoronaProfile` semantics: trapezoidal r·δr ring weights,
+    flux-weighted mean arrival times, summed time-emissivity curves, and
+    `with_propagation_velocity` delays (reference radial.jl:281-325)."""
+
+    def __init__(self, radii, profiles, delays=None):
+        self.radii = jnp.asarray(radii)
+        self.profiles = list(profiles)
+        self.delays = (
+            jnp.zeros_like(self.radii) if delays is None else jnp.asarray(delays)
+        )
+
+    def _weights(self):
+        r = self.radii
+        if r.shape[0] == 1:
+            return r
+        dr = 0.5 * (
+            jnp.concatenate([r[1:2] - r[0:1], r[2:] - r[:-2], r[-1:] - r[-2:-1]])
+        )
+        return r * dr
+
+    def emissivity_at(self, r):
+        w = self._weights()
+        vals = [wi * p.emissivity_at(r) for wi, p in zip(w, self.profiles)]
+        return sum(vals[1:], vals[0])
+
+    def coordtime_at(self, r):
+        w = self._weights()
+        num = None
+        den = None
+        t_mean = None
+        for wi, p, dt in zip(w, self.profiles, self.delays):
+            e = wi * p.emissivity_at(r)
+            t = p.coordtime_at(r) + dt
+            num = e * t if num is None else num + e * t
+            den = e if den is None else den + e
+            t_mean = t if t_mean is None else t_mean + t
+        t_mean = t_mean / len(self.profiles)
+        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), t_mean)
+
+    def time_limits_at(self, r):
+        los, his = zip(
+            *[p.time_limits_at(r) for p in self.profiles]
+        )
+        lo = jnp.min(jnp.stack(los) + self.delays)
+        hi = jnp.max(jnp.stack(his) + self.delays)
+        return lo, hi
+
+    def time_emissivity_curve(self, r, tq):
+        w = self._weights()
+        vals = [
+            wi * p.time_emissivity_curve(r, tq - dt)
+            for wi, p, dt in zip(w, self.profiles, self.delays)
+        ]
+        return sum(vals[1:], vals[0])
+
+    def with_propagation_velocity(self, func):
+        delays = jnp.asarray(jax.vmap(func)(self.radii), self.radii.dtype)
+        return DiscCoronaHybridProfile(self.radii, self.profiles, delays)
+
+
+def disc_corona_profile_hybrid(
+    m: AbstractMetric,
+    d,
+    model,
+    spectrum=PowerLawSpectrum(2.0),
+    *,
+    n_rings: int = 10,
+    vf: str | None = None,
+    **hybrid_kwargs,
+):
+    """`disc_corona_profile` with each constituent ring served by the
+    near-field hybrid (`ring_corona_profile_hybrid`). Host-driven: n_rings
+    adaptive-sky passes — use for final production profiles; the plain
+    vmapped fan stack (`disc_corona_profile`) is the cheap default."""
+    from gradus_tpu.corona.models import RingCorona
+
+    dtype = jnp.result_type(model.r, float)
+    radii = jnp.linspace(1e-2, model.r, n_rings, dtype=dtype)
+    profiles = [
+        ring_corona_profile_hybrid(
+            m,
+            d,
+            RingCorona(
+                r=float(rc), h=model.h, vf=vf if vf is not None else model.vf
+            ),
+            spectrum,
+            **hybrid_kwargs,
+        )
+        for rc in np.asarray(radii)
+    ]
+    return DiscCoronaHybridProfile(radii, profiles)
 
 
 @functools.partial(

@@ -59,9 +59,31 @@ def keplerian_velocity_projector(m: AbstractMetric, contra_rotating=False):
 disc_velocity = keplerian_velocity_projector
 
 
-def redshift_pointfunction(m: AbstractMetric, x_obs=None, contra_rotating=False):
+def redshift_pointfunction(
+    m: AbstractMetric, x_obs=None, contra_rotating=False, analytic: str = "auto"
+):
     """PointFunction computing g = (g_obs·v_init·u_obs)/(g_disc·v·u_disc)
-    (reference `_redshift_dotproduct`, redshift.jl:204-220)."""
+    (reference `_redshift_dotproduct`, redshift.jl:204-220).
+
+    ``analytic``: "auto" dispatches Kerr (prograde) to the closed-form
+    Cunningham machinery (`gradus_tpu.redshift_analytic`) — the reference's
+    `redshift_function(::KerrMetric, gp)` fast path (redshift.jl:193-203),
+    which skips both metric solves on the Keplerian branch; "never" forces
+    the generic dot-product path (used by the cross-check test); "always"
+    requires a KerrMetric and raises otherwise.
+    """
+    from gradus_tpu.metrics.kerr import KerrMetric
+
+    is_kerr = type(m) is KerrMetric and not contra_rotating
+    if analytic == "always" and not is_kerr:
+        raise ValueError("analytic='always' requires a prograde KerrMetric")
+    if analytic in ("auto", "always") and is_kerr:
+        from gradus_tpu.redshift_analytic import analytic_redshift_pointfunction
+
+        pf = analytic_redshift_pointfunction(m, x_obs)
+        pf.is_analytic_kerr = True
+        return pf
+
     project = keplerian_velocity_projector(m, contra_rotating=contra_rotating)
 
     def f(m_, gp, max_time, **kw):
@@ -73,7 +95,9 @@ def redshift_pointfunction(m: AbstractMetric, x_obs=None, contra_rotating=False)
         E_obs = dotproduct(g_obs, gp.v_init, v_obs)
         return E_obs / E_disc
 
-    return PointFunction(f)
+    pf = PointFunction(f)
+    pf.is_analytic_kerr = False
+    return pf
 
 
 def interpolate_redshift(m: AbstractMetric, x_obs=None, **kwargs):

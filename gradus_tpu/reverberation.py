@@ -109,6 +109,7 @@ def _lag_frequency_model(
     spectrum=PowerLawSpectrum(2.0),
     radii=None,
     n_samples: int = 1000,
+    profile_kwargs: dict | None = None,
     **kwargs,
 ):
     from gradus_tpu.orbits.special_radii import isco as _isco
@@ -121,7 +122,9 @@ def _lag_frequency_model(
     if radii is None:
         radii = jnp.linspace(_isco(m) + 1e-2, 300.0, 100, dtype=x.dtype)
 
-    prof = emissivity_profile(m, d, model, spectrum, n_samples=n_samples)
+    prof = emissivity_profile(
+        m, d, model, spectrum, n_samples=n_samples, **(profile_kwargs or {})
+    )
     t0 = continuum_time(m, x, model)
     tfs = transferfunctions(m, x, d, radii=radii, **kwargs)
     if hasattr(prof, "time_emissivity_curve"):
@@ -161,13 +164,49 @@ def lagtransfer(m, x, d, model, **kwargs):
     from gradus_tpu.integrate.tracing import trace_geodesics, domain_upper_hemisphere
     from gradus_tpu.integrate.status import StatusCodes
 
+    from gradus_tpu.corona.samplers import (
+        BothHemispheres,
+        EvenSampler,
+        sky_angles_to_velocity,
+    )
+    from gradus_tpu.utils.linalg import equatorial_project
+
     x = jnp.asarray(x)
     plane = kwargs.pop(
         "plane", PolarPlane(GeometricGrid(), Nr=800, Ntheta=800, r_max=50.0)
     )
     max_t = kwargs.pop("max_t", 2.0 * x[1])
     n_samples = kwargs.pop("n_samples", 10000)
-    prof = emissivity_profile(m, d, model, n_samples=n_samples)
+    # reference default sampler: EvenSampler(BothHemispheres, Random)
+    # (transfer-functions-2d.jl:171); pass sampler=None for the fast 1D
+    # δ-sweep point-source emissivity profile
+    sampler = kwargs.pop("sampler", None)
+    prof = emissivity_profile(m, d, model, n_samples=n_samples, sampler=sampler)
+
+    # raw coronal (r, t) hit samples: the reference's `binflux` interpolates
+    # arrival times over the traced coronal geodesic points directly
+    # (AnalyticRadialDiscProfile(cg), corona/analytic.jl:11-16), NOT over a
+    # binned profile — keep the same semantics here
+    corona_sampler = sampler or EvenSampler(domain=BothHemispheres())
+    x_src, v_src = model.sample_position_velocity(m)
+    idx = jnp.arange(1, n_samples + 1, dtype=x.dtype)
+    elev, az = corona_sampler.sample_angles(idx, n_samples)
+    v_c = sky_angles_to_velocity(m, x_src, v_src, elev, az)
+    gps_c = trace_geodesics(
+        m,
+        jnp.broadcast_to(x_src, v_c.shape),
+        v_c,
+        (0.0, max_t),
+        geometry=d,
+        terminate_fns=(domain_upper_hemisphere(),),
+        constrain=False,
+    )
+    hit_c = gps_c.status == StatusCodes.IntersectedWithGeometry
+    r_c = jnp.where(hit_c, equatorial_project(gps_c.x), jnp.inf)
+    order = jnp.argsort(r_c)
+    corona_r = r_c[order]
+    corona_t = gps_c.x[..., 0][order]
+    corona_n = jnp.sum(hit_c)
 
     alpha, beta = plane.impact_parameters()
     areas = plane.unnormalized_areas()
@@ -184,7 +223,16 @@ def lagtransfer(m, x, d, model, **kwargs):
     )
     hit = gps.status == StatusCodes.IntersectedWithGeometry
     return dict(
-        max_t=max_t, x=x, areas=areas, profile=prof, points=gps, hit=hit, metric=m
+        max_t=max_t,
+        x=x,
+        areas=areas,
+        profile=prof,
+        points=gps,
+        hit=hit,
+        metric=m,
+        corona_r=corona_r,
+        corona_t=corona_t,
+        corona_n=corona_n,
     )
 
 
@@ -213,7 +261,20 @@ def binflux(
     m = tf["metric"]
     gps = tf["points"]
     hit = tf["hit"]
-    prof = profile or tf["profile"]
+    if profile is None:
+        # reference default (transfer-functions-2d.jl:217-220): ε(r) = r⁻³
+        # with coordinate times interpolated over the RAW traced coronal
+        # geodesic points, clamped outside their radial range
+        # (AnalyticRadialDiscProfile(cg), corona/analytic.jl:11-33) — NOT the
+        # traced emissivity (pass `profile=tf["profile"]` for that)
+        from gradus_tpu.utils.interp import masked_sorted_interp
+
+        t_fn = lambda r: masked_sorted_interp(
+            jnp.asarray(r), tf["corona_r"], tf["corona_t"], tf["corona_n"]
+        )
+        prof = AnalyticRadialDiscProfile(lambda r: r**-3.0, t_fn)
+    else:
+        prof = profile
     r = equatorial_project(gps.x)
     t = prof.coordtime_at(r) + gps.x[..., 0]
     eps = prof.emissivity_at(r)

