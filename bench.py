@@ -195,9 +195,16 @@ def bench_ctf():
     d = gt.ThinDisc(0.0, jnp.inf)
     bins = jnp.linspace(0.1, 1.5, 180, dtype=dtype)
     num_re = int(os.environ.get("BENCH_NUM_RE", "100"))
+    # BENCH_BACKEND=pallas routes the offset solves through the FD-Newton
+    # Pallas kernel path (transfer/pallas_ctf.py); default "xla" is the jvp
+    # path. Parity is asserted in tests/test_pallas_ctf.py.
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    ctf_backend = "pallas" if backend == "pallas" else "xla"
 
     def profile():
-        _, flux = gt.lineprofile(m, x, d, bins=bins, num_re=num_re, N=80)
+        _, flux = gt.lineprofile(
+            m, x, d, bins=bins, num_re=num_re, N=80, backend=ctf_backend
+        )
         return flux
 
     flux = profile()  # compile + warm caches
@@ -212,6 +219,7 @@ def bench_ctf():
     details = {
         "workload": "ctf_lineprofile",
         "num_re": num_re,
+        "backend": ctf_backend,
         "seconds_per_profile": round(dt, 4),
         "flux_sum": round(s, 6),
     }

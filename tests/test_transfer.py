@@ -170,6 +170,49 @@ def test_ctf_moment_re4_golden():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "re,golden",
+    [
+        (300.0, 0.13378948600255888),
+        (800.0, 0.13470290875241375),
+    ],
+)
+def test_ctf_moment_large_radius_golden(re, golden):
+    """Large-radius moment anchors (VERDICT r4 next #8; reference
+    cunningham-transfer-functions.jl:38-39, rtol 1e-2) — the regime the
+    asymmetric near-extremal gate is calibrated for (rₑ=1000 matches to
+    0.02%)."""
+    np.testing.assert_allclose(_ctf_moment(0.998, 30.0, re), golden, rtol=1e-2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "a,angle,re",
+    [
+        (-0.6, 88.0, 784.8253509875607),
+        (-0.998, 88.0, 953.9915665264327),
+        (-0.450, 88.0, 952.1406350219423),
+    ],
+)
+def test_ctf_problematic_configs_no_errors(a, angle, re):
+    """Historically-problematic retrograde near-edge-on configs
+    (cunningham-transfer-functions.jl:42-45): must produce a finite,
+    populated transfer function without errors."""
+    m = gt.KerrMetric(M=1.0, a=a)
+    d = gt.ThinDisc(0.0, jnp.inf)
+    x = jnp.array([0.0, 100_000.0, np.deg2rad(angle), 0.0])
+    _, s = gt.cunningham_transfer_function(
+        m, x, d, jnp.array([re]), N=80, return_samples=True
+    )
+    ok = np.asarray(s["ok"][0])
+    f = np.asarray(s["f"][0])
+    assert ok.sum() > 40
+    assert np.isfinite(f[ok]).all()
+    gmin = float(np.asarray(s["gstar"][0])[ok].min())
+    assert np.isfinite(gmin)
+
+
+@pytest.mark.slow
 def test_ctf_moment_re1000_golden():
     """BASELINE anchor: extreme-radius CTF moment at a=0.998, i=30°, rₑ=1000
     (`test/smoke-tests/cunningham-transfer-functions.jl:39`). With the
