@@ -216,12 +216,23 @@ def bench_ctf():
         flux = profile()
     float(jnp.sum(flux))
     dt = (time.perf_counter() - t0) / reps
+    # precision evidence carried by every hardware run (VERDICT r4 next #7):
+    # first-moment checksum m1 = Σ(flux·g)/Σflux vs the recorded f64 CPU
+    # value at the same config (tests/test_precision_parity.py measures the
+    # full f32↔f64 bin-wise budget: median 3.1e-4, p90 7.8e-4)
+    M1_F64_CPU = 0.9201437735481984  # num_re=100, N=80, 180 bins
+    centers = np.linspace(0.1, 1.5, 180)
+    fl = np.asarray(flux)
+    m1 = float((fl * centers).sum() / fl.sum())
+    m1_drift = abs(m1 / M1_F64_CPU - 1.0) if num_re == 100 else float("nan")
     details = {
         "workload": "ctf_lineprofile",
         "num_re": num_re,
         "backend": ctf_backend,
         "seconds_per_profile": round(dt, 4),
         "flux_sum": round(s, 6),
+        "m1_checksum": round(m1, 8),
+        "m1_drift_vs_f64_cpu": round(m1_drift, 8) if m1_drift == m1_drift else None,
     }
     print(json.dumps({"bench_details": details}), file=sys.stderr)
     print(

@@ -104,6 +104,21 @@ def _ctf_moment(a, angle, re, **kwargs):
 # (test/smoke-tests/cunningham-transfer-functions.jl:25-36, atol 1e-3), plus
 # our deterministic pinned values (atol 5e-4 regression guard).
 #
+# GROUND TRUTH (round 5 — scripts/groundtruth_ctf_moment.py, artifact
+# scripts/groundtruth_ctf.npz, tests/test_groundtruth_anchors.py): an
+# independent pipeline (production tracer at 1e-11, host FD Newton,
+# closed-form redshift, Richardson central-FD Jacobians, NO regularisation
+# gate) measures the true moments at a = 0.998, rₑ = 4:
+#   i=74°: 0.0555103 (reference golden 0.0555030 — agreement to 1.3e-4)
+#   i=35°: 0.1064168 (reference 0.1084618 = +1.9% above truth)
+#   i=30°: 0.1101249 (reference 0.1195815 = +8.6% above truth)
+#   i=3°:  0.1220254 (reference 0.1404890 = +15% above truth)
+# The control anchor validates the method against the reference where both
+# solvers are healthy; on the three disputed anchors the reference's
+# recorded goldens measurably embed its solver's near-extremal noise, and
+# OUR pinned values sit within 0.17-0.91% of the truth. The paragraph below
+# is the original (round-4) conditioning analysis that predicted this.
+#
 # CONDITIONING CAVEAT (round-4 investigation, scripts/debug_ctf_*.py): the
 # raw moment averages f over ~34 golden-section probes that converge
 # geometrically INTO the transfer function's 0·∞ endpoints, where
