@@ -159,3 +159,49 @@ def test_ring_corona_adaptive_matches_dense_fan():
     # per-bin scatter ≤ 10% p90 at this ~3k-ray budget
     assert abs(np.median(ratio) - 1.0) < 0.05
     assert np.percentile(np.abs(ratio - 1.0), 90) < 0.10
+
+
+@pytest.mark.slow
+def test_disc_corona_hybrid_profile():
+    """`disc_corona_profile_hybrid` (opt-in per-ring near-field hybrid):
+    aggregate semantics mirror DiscCoronaProfile — positive decaying
+    emissivity, causal flux-weighted times, propagation delays shift the
+    support — and each ring's near field comes from the adaptive sky."""
+    from gradus_tpu.corona.models import DiscCorona
+    from gradus_tpu.corona.extended import (
+        DiscCoronaHybridProfile,
+        disc_corona_profile,
+        disc_corona_profile_hybrid,
+    )
+
+    m = KerrMetric(M=1.0, a=0.5)
+    d = ThinDisc(0.0, 100.0)
+    model = DiscCorona(r=6.0, h=4.0)
+    prof = disc_corona_profile_hybrid(
+        m, d, model, n_rings=3, n_beta=4, n_angles=64,
+        n0=16, rounds=2, max_refine=64,
+    )
+    assert isinstance(prof, DiscCoronaHybridProfile)
+    rq = jnp.array([8.0, 16.0, 32.0])
+    eps = np.asarray(prof.emissivity_at(rq))
+    assert np.all(eps > 0)
+    assert np.all(np.diff(eps) < 0)
+    lo, hi = prof.time_limits_at(12.0)
+    assert float(hi) > float(lo) > 0.0
+    prof2 = prof.with_propagation_velocity(lambda r: r / 0.5)
+    lo2, hi2 = prof2.time_limits_at(12.0)
+    assert float(hi2) > float(hi)
+    # far-field agreement with the plain fan stack (the hybrid only replaces
+    # the near field): ratio within 25% at r >> r_disc + blend window
+    fan = disc_corona_profile(
+        m, d, model, n_rings=3, n_beta=4, n_angles=64
+    )
+    r_far = jnp.array([20.0, 40.0])
+    ratio = np.asarray(prof.emissivity_at(r_far)) / np.asarray(
+        fan.emissivity_at(r_far)
+    )
+    assert np.all(np.abs(ratio - 1.0) < 0.25), ratio
+    # time-emissivity curve: non-negative with mass inside the support
+    tq = jnp.linspace(float(lo), float(hi), 32)
+    curve = np.asarray(prof.time_emissivity_curve(12.0, tq))
+    assert np.all(curve >= 0) and curve.max() > 0

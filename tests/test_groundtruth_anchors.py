@@ -37,6 +37,15 @@ MEASURED GROUND TRUTH (a = 0.998, rₑ = 4, f64):
 - The independent Carter first-order formulation cross-validates the ρ-map
   at r_obs = 1e3 (where its Mino-form drift is benign): offsets to 1.1e-4,
   Jacobians to 4.6% (the FO map's own noise floor).
+- Per-sample diagnosis (production vs ground truth, matched by sweep θ):
+  the f fields agree to p90 ≤ 1e-2 everywhere; the residual ≤0.9% moment
+  differences are dominated by EXTREMAL-SAMPLE BOOKKEEPING — each pipeline
+  zeroes f at its OWN argmax sample (the IEEE x/x = 1 identity, exactly as
+  the reference accumulator does), and which probe lands deepest differs
+  between realisations, moving a full-weight (g✶ = 1) sample in or out of
+  the sum. The near-gmin disagreements carry no moment weight (f·g✶ → 0).
+  This is the statistic's intrinsic realisation sensitivity, shared by the
+  reference — not a fixable pipeline error.
 """
 
 import os
