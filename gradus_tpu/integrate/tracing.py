@@ -243,7 +243,38 @@ def trace_geodesics(
 
 
 # reference-parity alias
-tracegeodesics = trace_geodesics
+def tracegeodesics(m, x, v=None, lam_span=(0.0, 2000.0), **kwargs):
+    """Reference-parity front door. Two dispatches:
+
+    - ``tracegeodesics(m, x, v, lam_span, ...)`` — positions/velocities,
+      exactly `trace_geodesics`;
+    - ``tracegeodesics(m, model, lam_max_or_span; n_samples=64,
+      sampler=None, ...)`` — sample a corona model's local sky and trace the
+      emitted rays (reference corona-models.jl:143-153).
+    """
+    if hasattr(x, "sample_position_velocity"):
+        from gradus_tpu.corona.samplers import (
+            BothHemispheres,
+            EvenSampler,
+            sky_angles_to_velocity,
+        )
+
+        model = x
+        span = v if v is not None else lam_span
+        if jnp.ndim(span) == 0:
+            span = (0.0, float(span))
+        n_samples = kwargs.pop("n_samples", 64)
+        sampler = kwargs.pop("sampler", None) or EvenSampler(
+            domain=BothHemispheres()
+        )
+        x_src, v_src = model.sample_position_velocity(m)
+        idx = jnp.arange(1, n_samples + 1, dtype=x_src.dtype)
+        elev, az = sampler.sample_angles(idx, n_samples)
+        vs = sky_angles_to_velocity(m, x_src, v_src, elev, az)
+        xs = jnp.broadcast_to(x_src, vs.shape)
+        kwargs.setdefault("constrain", False)
+        return trace_geodesics(m, xs, vs, span, **kwargs)
+    return trace_geodesics(m, x, v, lam_span, **kwargs)
 
 
 class Tracer:

@@ -62,3 +62,20 @@ def test_montecarlo_profile_consistent(lamppost_profile):
     e = np.asarray(prof_mc.emissivity_at(jnp.asarray([10.0, 40.0])))
     slope = np.log(e[1] / e[0]) / np.log(4.0)
     assert -4.0 < slope < -2.0
+
+
+def test_tracegeodesics_corona_model_dispatch():
+    """Reference-parity front door `tracegeodesics(m, model, lam_max)`
+    (corona-models.jl:143-153): samples the model's local sky and traces."""
+    import gradus_tpu as gt
+    from gradus_tpu.integrate.status import StatusCodes
+
+    m = gt.KerrMetric(M=1.0, a=0.0)
+    gp = gt.tracegeodesics(
+        m, gt.LampPostModel(), 2000.0, n_samples=32,
+        geometry=gt.ThinDisc(0.0, 100.0),
+    )
+    st = np.asarray(gp.status)
+    assert st.shape == (32,)
+    assert (st == int(StatusCodes.IntersectedWithGeometry)).sum() > 10
+    assert (st == int(StatusCodes.WithinInnerBoundary)).sum() > 0
