@@ -201,9 +201,13 @@ def bench_ctf():
     backend = os.environ.get("BENCH_BACKEND", "xla")
     ctf_backend = "pallas" if backend == "pallas" else "xla"
 
+    extra = {}
+    if os.environ.get("BENCH_FD_H_AB"):
+        extra["pallas_opts"] = {"fd_h_ab": float(os.environ["BENCH_FD_H_AB"])}
+
     def profile():
         _, flux = gt.lineprofile(
-            m, x, d, bins=bins, num_re=num_re, N=80, backend=ctf_backend
+            m, x, d, bins=bins, num_re=num_re, N=80, backend=ctf_backend, **extra
         )
         return flux
 

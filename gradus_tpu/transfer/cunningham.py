@@ -287,6 +287,7 @@ def cunningham_transfer_function(
     return_samples: bool = False,
     probe_warm_start: bool = True,
     backend: str = "xla",
+    pallas_opts: dict | None = None,
 ) -> TransferBranchGrid:
     """Compute transfer functions for an array of emission radii at once.
 
@@ -379,6 +380,7 @@ def cunningham_transfer_function(
             beta0=float(beta0),
             zero_atol=float(zero_atol),
             dtype=x.dtype,
+            **(pallas_opts or {}),
         )
         r_init_p = (
             r_init_sweep

@@ -66,7 +66,11 @@ class PallasCTFSolver:
         gtol: float = 1e-2,
         tile_rows: int = 8,
         fd_h: float = 4e-4,
-        fd_h_ab: float = 5e-3,
+        # hardware-swept optimum (PERF.md round 5): h = 2.5e-3·(1+|r|) is
+        # truncation/noise balanced — m1 drift 2.4e-4 (vs 1.4e-3 at 5e-3,
+        # 2.0e-3 at 1.25e-3 where FD slope noise also destabilizes Newton)
+        # and the fastest of the sweep
+        fd_h_ab: float = 2.5e-3,
         max_iter: int = 20,
         stall_iters: int = 5,
         zero_atol: float = 1e-7,
