@@ -79,3 +79,65 @@ def test_tracegeodesics_corona_model_dispatch():
     assert st.shape == (32,)
     assert (st == int(StatusCodes.IntersectedWithGeometry)).sum() > 10
     assert (st == int(StatusCodes.WithinInnerBoundary)).sum() > 0
+
+
+def test_coronal_beaming_tetrad_matches_analytic():
+    """Reference `test/unit/coronal-beaming.jl`: the generic `tetradframe`
+    at a radially-boosted source reproduces the Gonzalez+17 analytic tetrad,
+    and dr/dt = β√(-g_tt/g_rr) equals the closed form β(r²-2r+a²)/(r²+a²)
+    on the axis."""
+    from gradus_tpu.geodesics.tetrads import tetradframe, propernorm
+
+    m = gt.KerrMetric(M=1.0, a=0.998)
+    x = jnp.array([0.0, 3.0, np.deg2rad(0.01), 0.0])
+    g5 = np.asarray(m.components(x[1], x[2]))  # (tt, rr, hh, pp, tp)
+
+    def drdt(beta):
+        return beta * np.sqrt(-g5[0] / g5[1])
+
+    r, a = 3.0, 0.998
+    np.testing.assert_allclose(
+        drdt(1.0), (r**2 - 2 * r + a**2) / (r**2 + a**2), rtol=1e-6
+    )
+
+    beta = 0.25
+    # analytic tetrad (Gonzalez+17 eq. 10, signature flipped)
+    v_r = drdt(beta)
+    A = 1.0 / np.sqrt(-g5[0] - v_r**2 * g5[1])
+    e_t = A * np.array([1.0, v_r, 0.0, 0.0])
+    B = np.sqrt(-g5[1] / g5[0])
+    e_r = A * np.array([v_r * B, 1.0 / B, 0.0, 0.0])
+    e_h = np.array([0.0, 0.0, np.sqrt(1.0 / g5[2]), 0.0])
+    C = 1.0 / np.sqrt(-g5[0] * (g5[4] ** 2 - g5[0] * g5[3]))
+    e_p = C * np.array([g5[4], 0.0, 0.0, -g5[0]])
+    analytic = np.stack([e_t, e_r, e_h, e_p])
+
+    v = jnp.array([1.0, float(v_r), 0.0, 0.0])
+    ours = np.stack([np.asarray(e) for e in tetradframe(m, x, v)])
+
+    G = np.asarray(m.metric(x))
+    eta = np.einsum("ai,ij,bj->ab", ours, G, ours)
+    np.testing.assert_allclose(eta, np.diag([-1.0, 1.0, 1.0, 1.0]), atol=1e-10)
+    np.testing.assert_allclose(ours, analytic, rtol=1e-8, atol=1e-10)
+
+
+def test_ring_corona_corotating_velocity_pin():
+    """Reference `coronal-beaming.jl:72-74`: RingCorona(co_rotating,
+    r=2.082, h=50.0) at a=0.998 ≈ (1.204, 0, 0, 0.300).
+
+    The reference pin is an EXTERNAL hand-computed value rounded to 3
+    decimals (the same file's first pin is commented out with "no idea why
+    this one isn't matching" against the reference's own code); our
+    implementation is the reference formula verbatim
+    (SourceVelocities.co_rotating, extended.jl:20-25) and lands at
+    (1.20443, 0, 0, 0.30095) — asserted vs the pin at 5e-3 plus our own
+    tight determinism pin."""
+    m = gt.KerrMetric(M=1.0, a=0.998)
+    model = gt.RingCorona(r=2.082, h=50.0, vf="co_rotating")
+    x, v = model.sample_position_velocity(m)
+    np.testing.assert_allclose(
+        np.asarray(v), [1.204, 0.0, 0.0, 0.300], rtol=5e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(v), [1.2044281, 0.0, 0.0, 0.3009455], rtol=1e-5, atol=1e-8
+    )
